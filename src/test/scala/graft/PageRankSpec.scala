@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.PageRank
+import graft.model.PageRankConfig
+
+class PageRankSpec extends AnyFunSuite with SparkTestBase {
+
+  private def check(name: String, n: Int, edges: Seq[(Int, Int, Double)],
+      alpha: Double, cfg: PageRankConfig): Unit = {
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val (ranks, stats) = PageRank.run(g, cfg.copy(alpha = alpha, tol = 1e-10))
+    val got = ranks.collect().map(r => r.id -> r.rank).toMap
+    val (expected, _) = DenseOracle.pagerank(n, edges, alpha, tol = 1e-12)
+    assert(stats.reason.converged, s"$name did not converge: $stats")
+    (0 until n).foreach { i =>
+      assert(math.abs(got(i.toLong) - expected(i)) < 1e-6,
+        s"$name vertex $i: got ${got(i.toLong)}, expected ${expected(i)}")
+    }
+    // ‖x‖₁ = 1 invariant at convergence
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  for ((name, (n, edges)) <- GraphFixtures.all; alpha <- Seq(0.85, 0.95)) {
+    test(s"power method matches dense oracle on $name at alpha=$alpha") {
+      check(name, n, edges, alpha, PageRankConfig())
+    }
+  }
+
+  test("salted SpMV is exact: hub salting does not change ranks") {
+    val (n, edges) = GraphFixtures.g2
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val (plain, _) = PageRank.run(g, PageRankConfig(tol = 1e-10))
+    val (salted, _) = PageRank.run(g,
+      PageRankConfig(tol = 1e-10, saltThreshold = 1, saltBuckets = 4))
+    val a = plain.collect().map(r => r.id -> r.rank).toMap
+    val b = salted.collect().map(r => r.id -> r.rank).toMap
+    a.foreach { case (id, r) => assert(math.abs(b(id) - r) < 1e-12) }
+  }
+
+  test("rank sum is 1 every iteration (trace invariant)") {
+    val (n, edges) = GraphFixtures.g1
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val (_, stats) = PageRank.run(g, PageRankConfig(tol = 1e-8))
+    stats.trace.foreach(m => assert(math.abs(m.rank_sum - 1.0) < 1e-12,
+      s"iter ${m.iter}: rank_sum=${m.rank_sum}"))
+  }
+
+  test("checkpoint + resume reproduces the uninterrupted result exactly") {
+    val (n, edges) = GraphFixtures.g1
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val cfg = PageRankConfig(tol = 1e-10, checkpointDir = Some(dir), checkpointEvery = 3)
+
+    val (full, fullStats) = PageRank.run(g, cfg, runId = "full")
+    // interrupted: stop after 4 iterations (snapshot exists at iter 3)
+    PageRank.run(g, cfg.copy(maxIter = 4), runId = "resumed")
+    val (resumed, resumedStats) =
+      PageRank.run(g, cfg, runId = "resumed", resume = true)
+
+    val a = full.collect().map(r => r.id -> r.rank).toMap
+    val b = resumed.collect().map(r => r.id -> r.rank).toMap
+    a.foreach { case (id, r) => assert(math.abs(b(id) - r) < 1e-12) }
+    assert(resumedStats.reason.converged)
+    // metrics sidecar exists and has rows
+    val metrics = spark.read.parquet(s"$dir/resumed/_metrics")
+    assert(metrics.count() > 0)
+  }
+
+  test("personalization vector shifts mass toward the personalized vertex") {
+    val (n, edges) = GraphFixtures.g3
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    import spark.implicits._
+    val v = Seq((0L, 1.0)).toDF("id", "v") // all teleport mass to vertex 0
+    val (ranks, _) = PageRank.run(g, PageRankConfig(tol = 1e-10),
+      personalization = Some(v))
+    val got = ranks.collect().map(r => r.id -> r.rank).toMap
+    // component {3,4} receives no teleport and no links from component 1
+    assert(got(3L) < 1e-9 && got(4L) < 1e-9)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+}
