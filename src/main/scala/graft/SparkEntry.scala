@@ -1,13 +1,260 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph._
+import graft.model.PageRankConfig
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-equivalent SQL oracle where the operator is
+  * SQL-expressible (OracleSql). Non-SQL-expressible ops (hash-based dedup
+  * signatures, LSH, multimodal stubs) are rows-only checks; their numeric
+  * correctness is covered by the ScalaTest oracle suite instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full pipeline on sf0.001 — events→transcripts→link graph →
+    * converged PageRank (α=0.85, tol 1e-6) with top ranks named.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = TestdataGraph.linkGraph(spark, "/root/testdata/sf0.001")
+    val (ranks, _) = PageRank.run(g, PageRankConfig(tol = 1e-6))
+    ranks.toDF().join(g.dict, "id")
+      .select(col("conv_id"), col("id"), col("rank"))
+      .orderBy(desc("rank"), asc("id"))
+  }
+
+  private def pr5(spark: SparkSession, dir: String): DataFrame = {
+    val g = TestdataGraph.linkGraph(spark, dir)
+    val (ranks, _) = PageRank.run(g, PageRankConfig(alpha = 0.85, tol = 0.0, maxIter = 5))
+    ranks.toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / transcript derivation (S1-S4; per-turn text equality) ----
+    "s1_scan_transcripts" -> ((s, dir) =>
+      TestdataGraph.transcripts(s, dir)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")),
+
+    // ---- graph kernels (C1, C2, C5/C13/K2, C6) ----
+    "c1_normalize" -> ((s, dir) =>
+      TestdataGraph.linkGraph(s, dir).edges.toDF()
+        .select(col("src"), col("dst"), round(col("weight"), 8).as("weight"))),
+
+    "c2_spmv" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      val prep = PageRank.prepare(g, PageRankConfig())
+      val x0 = g.vertices.withColumn("rank", lit(1.0 / g.numVertices))
+      PageRank.spmv(prep, x0).select(col("id"), round(col("y"), 8).as("y"))
+    }),
+
+    "k2_stats" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      val nDang = GraphOps.danglingVertices(g).count()
+      val norm1 = g.edges.groupBy(col("dst")).agg(sum(col("weight")).as("s"))
+        .agg(max(col("s"))).head().getDouble(0)
+      val normInf = g.edges.groupBy(col("src")).agg(sum(col("weight")).as("s"))
+        .agg(max(col("s"))).head().getDouble(0)
+      import s.implicits._
+      Seq((g.numVertices, g.numEdges, nDang,
+        BigDecimal(norm1).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(normInf).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("n_vertices", "n_edges", "n_dangling", "norm_1", "norm_inf")
+    }),
+
+    "c6_dangling" -> ((s, dir) =>
+      GraphOps.danglingVertices(TestdataGraph.linkGraph(s, dir))),
+
+    // ---- algorithms (A2 power method, CC, LP, triangles) ----
+    "a2_pagerank5" -> ((s, dir) =>
+      pr5(s, dir).select(col("id"), round(col("rank"), 8).as("rank"))),
+
+    "k3_toprank" -> ((s, dir) => {
+      val r = pr5(s, dir).select(col("id"), round(col("rank"), 8).as("rank"))
+      val w = Window.orderBy(desc("rank"), asc("id"))
+      r.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 10)
+    }),
+
+    "cc_components" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      ConnectedComponents.run(g.edges, g.vertices)
+    }),
+
+    "lp_labelprop3" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      LabelPropagation.run(g.edges, g.vertices, rounds = 3)
+    }),
+
+    "tc_triangles" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      import s.implicits._
+      Seq(Triangles.count(g.edges)).toDF("triangles")
+    }),
+
+    // ---- relational coverage (agg/join/window/set-ops/sessionize) ----
+    "r1_agg_pushdown" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          round(avg(col("l_discount")), 8).as("avg_disc"),
+          count(lit(1)).as("n"))),
+
+    "r2_join_agg" -> ((s, dir) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    "r3_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+    }),
+
+    "r4_setops" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.intersect(o.select(col("o_custkey").as("c_custkey")))
+        .except(o.where(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")))
+    }),
+
+    "r5_sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+        .withColumn("is_new", when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ---- text analysis (documents) ----
+    "t1_tokens" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          col("n_chars"))),
+
+    "t2_quality" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.stopwordCount(col("text")).cast("long").as("n_stop"),
+          round(TextAnalysis.punctRatio(col("text")), 8).as("punct_ratio"))),
+
+    "t3_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "t4_langid" -> ((s, dir) => // rows-only: heuristic has no SQL twin
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"),
+          col("lang"))),
+
+    "t5_fingerprint" -> ((s, dir) => // rows-only: xxhash64 is Spark-specific
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // ---- dedup family (rows-only: hash/LSH signatures are engine-specific) ----
+    "d1_minhash_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val cand = Dedup.minhashCandidates(docs)
+      Dedup.verifyJaccard(cand, docs, threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "d2_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashCandidates(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "d3_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // ---- similarity search (embeddings) ----
+    "m1_knn_bruteforce" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val joined = corpus.join(broadcast(queries.withColumnRenamed("embedding", "qe")))
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          round(Similarity.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("id"))
+      joined.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 5)
+    }),
+
+    "m2_knn_lsh" -> ((s, dir) => { // rows-only: LSH bucketing is hash-specific
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.lshTopK(
+        emb.select(col("vec_id").as("id"), col("embedding")),
+        emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
+        k = 5)
+    }),
+
+    "m3_neardup_cosine" -> ((s, dir) => { // rows-only
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("embedding"))
+      // testdata embeddings are near-orthogonal random vectors (max pairwise
+      // cosine ≈ 0.51) — 0.4 keeps the operator observable at this scale
+      Similarity.cosineNearDup(emb, threshold = 0.4)
+    }),
+
+    // ---- multimodal plumbing (rows-only: stubbed decode, real batching) ----
+    "mm1_media_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("feat_dim"),
+          col("frames_sampled"), col("ok"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_transcripts" -> OracleSql.scanTranscripts,
+    "c1_normalize" -> OracleSql.normalize,
+    "c2_spmv" -> OracleSql.spmv,
+    "k2_stats" -> OracleSql.stats,
+    "c6_dangling" -> OracleSql.dangling,
+    "a2_pagerank5" -> OracleSql.pagerank(5, 0.85),
+    "k3_toprank" -> OracleSql.topRank(5, 0.85, 10),
+    "cc_components" -> OracleSql.connectedComponents,
+    "lp_labelprop3" -> OracleSql.labelProp(3),
+    "tc_triangles" -> OracleSql.triangles,
+    "r1_agg_pushdown" -> OracleSql.aggPushdown,
+    "r2_join_agg" -> OracleSql.joinAgg,
+    "r3_window_topk" -> OracleSql.windowTopK,
+    "r4_setops" -> OracleSql.setOps,
+    "r5_sessionize" -> OracleSql.sessionize,
+    "t1_tokens" -> OracleSql.tokens,
+    "t2_quality" -> OracleSql.quality,
+    "t3_dedup_exact" -> OracleSql.dedupExact,
+    "m1_knn_bruteforce" -> OracleSql.knn
+  )
 }
