@@ -1,0 +1,168 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset, GraftSqlInternals}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.util.SmallSvd
+
+/** Restarted Arnoldi PageRank — Spark rebuild of the reference's
+  * `ComputePageRank_AlgArnoldi` (/root/reference/ppagerank.cc:505-677).
+  *
+  * Per restart: build a k-step Arnoldi factorization M·Vₖ = Vₖ₊₁·H of the
+  * FULL PageRank operator M x = αPᵀx + (α·dᵀx + (1−α)·eᵀx)·v
+  * (PageRankMult, ppagerank.cc:692-718), subtract the identity from H
+  * (ppagerank.cc:591-594), take the right singular vector of the smallest
+  * singular value of H (gesvd at 596-643 — here a driver-side Jacobi SVD,
+  * SmallSvd), and restart from x = V·v_min (645-647). Convergence:
+  * ‖Mx − x‖₁ / ‖x‖₁ < tol (649-657).
+  *
+  * Spark shape: the k basis vectors live as k columns of ONE id-aligned
+  * frame (never k separate shuffles); each Arnoldi step is one SpMV job plus
+  * one batched-dot-products job (VecMTDot ≙ a single multi-sum aggregate).
+  * eᵀ-sums are tracked analytically (M is stochastic: eᵀ(Mx) = eᵀx);
+  * dᵀ-sums ride along in the aggregates.
+  *
+  * Deviation from the reference: the reference leaves the final iterate
+  * ‖·‖₂-normalized with arbitrary sign (its output sink is unimplemented,
+  * ppagerank_main.cc:426-471); we sign-fix and L1-normalize the returned
+  * ranks so they form a probability vector like the other solvers.
+  */
+object ArnoldiPageRank {
+
+  final case class ArnoldiConfig(
+      alpha: Double = 0.85,
+      tol: Double = 1e-7,
+      k: Int = 8, // hardcoded 8 in the reference (ppagerank.cc:509)
+      maxRestarts: Int = 1250,
+      saltThreshold: Int = 0,
+      saltBuckets: Int = 8)
+
+  def run(g: LinkGraph, cfg: ArnoldiConfig = ArnoldiConfig(),
+      runId: String = "arnoldi"): (Dataset[VertexRank], PageRankStats) = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val n = g.numVertices
+    val alpha = cfg.alpha
+    val k = cfg.k
+    val prep = PageRank.prepare(g,
+      PageRankConfig(saltThreshold = cfg.saltThreshold, saltBuckets = cfg.saltBuckets))
+
+    val srcs = g.edges.select(col("src").as("id")).distinct().withColumn("nd", lit(1))
+    val base = g.vertices.join(srcs, Seq("id"), "left")
+      .select(col("id"), when(col("nd").isNull, 1.0).otherwise(0.0).as("dang"))
+
+    /** w = M x for column `xc` of `frame`, given the scalars eᵀx, dᵀx.
+      * Pure plan transformation (no action): adds column `w`.
+      */
+    def mMult(frame: DataFrame, xc: String, ex: Double, dx: Double): DataFrame = {
+      val yraw = PageRank.spmv(prep,
+        frame.select(col("id"), col(xc).as("rank"))).withColumnRenamed("y", "yraw")
+      val teleport = (alpha * dx + (1 - alpha) * ex) / n
+      frame.join(yraw.hint("shuffle_hash"), Seq("id"), "left")
+        .withColumn("w", lit(alpha) * coalesce(col("yraw"), lit(0.0)) + lit(teleport))
+        .drop("yraw")
+    }
+
+    // x₀ = v = uniform (ppagerank.cc:544-550)
+    var x = GraftSqlInternals.truncate(
+      base.withColumn("x", lit(1.0 / n))).df
+    var ex = 1.0          // eᵀx
+    var (dx, xNorm2, xNorm1) = {
+      val r = x.agg(sum(col("dang") * col("x")), sum(col("x") * col("x")),
+        sum(abs(col("x")))).head()
+      (r.getDouble(0), math.sqrt(r.getDouble(1)), r.getDouble(2))
+    }
+
+    val trace = scala.collection.mutable.ArrayBuffer[IterMetric]()
+    var restart = 0
+    var delta = Double.MaxValue
+    var reason: ConvergedReason = ConvergedReason.MaxIterations
+
+    while (restart < cfg.maxRestarts && delta >= cfg.tol) {
+      val t0 = System.nanoTime()
+      val h = Array.ofDim[Double](k + 1, k) // (k+1)×k, ppagerank.cc:527
+      // v0 = x/‖x‖₂ (ppagerank.cc:556-559)
+      var frame = x.withColumn("v0", col("x") / lit(xNorm2)).drop("x")
+      var ev = ex / xNorm2 // eᵀv_j
+      var dv = dx / xNorm2 // dᵀv_j
+      val evs = Array.fill(k + 1)(0.0); evs(0) = ev
+      val dvs = Array.fill(k + 1)(0.0); dvs(0) = dv
+      var effK = 0 // columns of H actually built
+      var breakdown = false
+
+      var j = 0
+      while (j < k && !breakdown) {
+        // w = M v_j; H(i,j) = vᵢᵀw for i ≤ j (VecMTDot, ppagerank.cc:573);
+        // g = w − Σ H(i,j)·vᵢ; H(j+1,j) = ‖g‖₂
+        frame = mMult(frame, s"v$j", evs(j), dvs(j))
+        val dotCols = (0 to j).map(i => sum(col(s"v$i") * col("w"))) ++
+          Seq(sum(col("w") * col("w")), sum(col("dang") * col("w")))
+        val tr = GraftSqlInternals.truncate(frame)
+        frame = tr.df
+        val row = frame.agg(dotCols.head, dotCols.tail: _*).head()
+        for (i <- 0 to j) h(i)(j) = row.getDouble(i)
+        val ww = row.getDouble(j + 1)
+        val dw = row.getDouble(j + 2)
+        val ew = evs(j) // M stochastic: eᵀw = eᵀv_j
+        // g = w − Σ h(i,j) v_i as a column; β = ‖g‖₂ via the orthonormal-basis
+        // identity ‖g‖² = wᵀw − Σ h(i,j)² (v_i orthonormal)
+        val beta2 = ww - (0 to j).map(i => h(i)(j) * h(i)(j)).sum
+        val beta = math.sqrt(math.max(beta2, 0.0))
+        h(j + 1)(j) = beta
+        effK = j + 1
+        if (beta < 1e-12 * math.sqrt(ww)) {
+          breakdown = true // happy breakdown: Krylov space exhausted
+        } else {
+          val gCol = (0 to j).foldLeft(col("w")) { (acc, i) =>
+            acc - lit(h(i)(j)) * col(s"v$i")
+          }
+          frame = frame.withColumn(s"v${j + 1}", gCol / lit(beta)).drop("w")
+          evs(j + 1) = (ew - (0 to j).map(i => h(i)(j) * evs(i)).sum) / beta
+          dvs(j + 1) = (dw - (0 to j).map(i => h(i)(j) * dvs(i)).sum) / beta
+        }
+        j += 1
+      }
+
+      // H ← H − [I; 0] (ppagerank.cc:591-594), on the effK-sized block
+      val m = effK
+      val hBlock = Array.tabulate(m + 1, m) { (i, jj) =>
+        h(i)(jj) - (if (i == jj) 1.0 else 0.0)
+      }
+      val (_, vMat) = SmallSvd.svd(hBlock)
+      val vmin = Array.tabulate(m)(i => vMat(i)(m - 1)) // smallest σ's right vector
+
+      // x ← Σ vmin_i · v_i (VecMAXPY, ppagerank.cc:645-647)
+      val xCol = (0 until m).map(i => lit(vmin(i)) * col(s"v$i"))
+        .reduce((a, b) => a + b)
+      val exNew = (0 until m).map(i => vmin(i) * evs(i)).sum
+      val dxNew = (0 until m).map(i => vmin(i) * dvs(i)).sum
+      var xf = frame.withColumn("x", xCol)
+        .select(col("id"), col("dang"), col("x"))
+      // convergence: δ = ‖Mx − x‖₁/‖x‖₁ (ppagerank.cc:649-657) + next sums
+      xf = mMult(xf, "x", exNew, dxNew)
+      val tr2 = GraftSqlInternals.truncate(xf.select(col("id"), col("dang"), col("x"),
+        col("w"), abs(col("w") - col("x")).as("rdiff")))
+      val row = tr2.df.agg(sum(col("rdiff")), sum(abs(col("x"))),
+        sum(col("dang") * col("x")), sum(col("x") * col("x"))).head()
+      val num = row.getDouble(0)
+      xNorm1 = row.getDouble(1)
+      dx = row.getDouble(2)
+      xNorm2 = math.sqrt(row.getDouble(3))
+      ex = exNew
+      delta = num / xNorm1
+      x = tr2.df.select(col("id"), col("dang"), col("x"))
+
+      restart += 1
+      trace += IterMetric(runId, restart, delta, xNorm1, (System.nanoTime() - t0) / 1000000L)
+      if (delta < cfg.tol) reason = ConvergedReason.ResidualBelowTol
+    }
+
+    // sign-fix + L1-normalize (deviation from reference; see scaladoc)
+    val signedSum = x.agg(sum(col("x"))).head().getDouble(0)
+    val sign = if (signedSum < 0) -1.0 else 1.0
+    val ranks = x.select(col("id"),
+      (col("x") * lit(sign) / lit(math.abs(signedSum))).as("rank")).as[VertexRank]
+    (ranks, PageRankStats(restart, delta, reason, trace.toSeq))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, GraftSqlInternals, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -16,25 +16,29 @@ import graft.model._
   *   y  = α·Pᵀx                    — one distributed SpMV ≙ join + sum-agg
   *   ω  = 1 − ‖y‖₁                 — single scalar folding BOTH dangling and
   *                                   teleport mass (ppagerank.cc:307-315,
-  *                                   683-689): dᵀx = eᵀx − eᵀPᵀx, eᵀx = 1
+  *                                   683-689): ‖αPᵀx‖₁ = α(eᵀx − dᵀx)
   *   y += ω·v
   *   δ  = ‖y − x‖₁; stop when δ < tol (ppagerank.cc:319-329)
   *
-  * Each iteration is one flat DAG — scan(edges) + join(x) + agg — plus two
-  * scalar aggregates (≙ the reference's one SpMV + O(1) MPI_Allreduce per
-  * step). Lineage is truncated every `checkpointEvery` iterations either by
-  * an atomic parquet snapshot (resumable, north rule) or localCheckpoint.
+  * Physical shape — designed so one iteration is ONE Spark job:
+  * the dangling indicator d is static, so ω = α·dᵀxₖ + (1−α)·eᵀxₖ with
+  * eᵀxₖ = 1 by construction; dᵀxₖ is aggregated as a side scalar of
+  * iteration k's single action (together with the residual), one iteration
+  * ahead of its use — the Spark analogue of the reference's
+  * one-SpMV + O(1)-allreduce step, with the allreduces batched into one.
+  * The per-iteration DAG stays flat (scan + join + agg) via an eager-on-use
+  * localCheckpoint or an atomic parquet snapshot (resumable, north rule).
   *
-  * Skew: hub sources (out-degree > saltThreshold) have their edge rows salted
-  * across `saltBuckets` sub-keys and the rank vector replicated per sub-key
-  * for the join — the declarative analogue of the reference's nnz-weighted
-  * row redistribution (/root/reference/petsc_util.cc:1093-1263). Summation is
-  * exact, so salting never changes results.
+  * Skew: hub sources (out-degree > saltThreshold) have their edge rows
+  * salted across `saltBuckets` sub-keys and the rank vector replicated per
+  * sub-key for the join — the declarative analogue of the reference's
+  * nnz-weighted row redistribution (/root/reference/petsc_util.cc:1093-1263).
+  * Summation is exact, so salting never changes results.
   */
 object PageRank {
 
   final case class Prepared(
-      joinEdges: DataFrame,        // (src, salt, dst, weight)
+      joinEdges: DataFrame,        // (src[, salt], dst, weight)
       hubs: DataFrame,             // (src) hub sources, broadcast-sized
       saltBuckets: Int,
       saltEnabled: Boolean)
@@ -66,16 +70,22 @@ object PageRank {
   }
 
   /** y_raw = Pᵀx as (id, y) — the SpMV kernel (C2):
-    * equi-join of edges with the rank vector on source id, then per-dst sum.
+    * equi-join of edges with the rank vector on source id, then per-dst sum
+    * (map-side partial agg absorbs hub in-degree skew).
     * ≙ MatMultTranspose at /root/reference/ppagerank.cc:301-305.
     */
   def spmv(prep: Prepared, x: DataFrame): DataFrame = {
+    // SHUFFLE_HASH on the rank-vector side: broadcasting x would serialize
+    // O(V) bytes through the driver every iteration (kills scaling), and
+    // sort-merge would re-sort the edge partitions every iteration; a
+    // shuffled hash join streams the pre-partitioned edges and builds only
+    // the per-partition slice of x.
     val joined =
       if (!prep.saltEnabled) {
-        prep.joinEdges.join(x, prep.joinEdges("src") === x("id"))
+        val xs = x.hint("shuffle_hash")
+        prep.joinEdges.join(xs, prep.joinEdges("src") === xs("id"))
       } else {
-        // replicate hub rank rows across all sub-keys; `explode` cannot sit
-        // inside `when`, so build the salt list per row and explode it
+        // replicate hub rank rows across all sub-keys
         val xs = x.join(broadcast(prep.hubs.withColumnRenamed("src", "id")
               .withColumn("is_hub", lit(true))), Seq("id"), "left")
           .withColumn("salts",
@@ -83,6 +93,7 @@ object PageRank {
               sequence(lit(0), lit(prep.saltBuckets - 1)))
             .otherwise(array(lit(0))))
           .select(col("id"), explode(col("salts")).as("salt"), col("rank"))
+          .hint("shuffle_hash")
         prep.joinEdges.join(xs, prep.joinEdges("src") === xs("id") &&
           prep.joinEdges("salt") === xs("salt"))
       }
@@ -102,23 +113,45 @@ object PageRank {
     require(n > 0, "empty vertex domain")
     val prep = prepare(g, cfg)
 
-    val vDf = personalization.map(_.select(col("id"), col("v").cast("double"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    // static dangling indicator (C6 complement): dang=1 iff no out-edges —
+    // joined into the iterate frame once, so dᵀx is a free side-aggregate
+    val srcs = g.edges.select(col("src").as("id")).distinct()
+      .withColumn("nd", lit(1))
+    val base = g.vertices.join(srcs, Seq("id"), "left")
+      .select(col("id"), when(col("nd").isNull, 1.0).otherwise(0.0).as("dang"))
 
-    // x₀ = v (ppagerank.cc:291-295), or the latest checkpoint when resuming.
+    // personalization v (default uniform 1/n); carried as a column when given
+    val vDf = personalization.map(_.select(col("id"), col("v").cast("double")))
+
+    def initialFrame(): DataFrame = vDf match {
+      case Some(v) => base.join(v, Seq("id"), "left")
+        .select(col("id"), col("dang"),
+          coalesce(col("v"), lit(0.0)).as("v"),
+          coalesce(col("v"), lit(0.0)).as("rank"))
+      case None => base.select(col("id"), col("dang"), lit(1.0 / n).as("rank"))
+    }
+
     var startIter = 0
-    var x: DataFrame = (cfg.checkpointDir, resume) match {
+    var frame: DataFrame = (cfg.checkpointDir, resume) match {
       case (Some(dir), true) =>
         TableIO.latestSnapshot(spark, s"$dir/$runId", "iter_") match {
           case Some((k, path)) =>
             startIter = k
-            spark.read.parquet(path).select(col("id"), col("rank"))
-          case None => initialX(g, n, vDf)
+            spark.read.parquet(path)
+          case None => initialFrame()
         }
-      case _ => initialX(g, n, vDf)
+      case _ => initialFrame()
     }
-    x = x.persist(StorageLevel.MEMORY_AND_DISK)
+    var frameHandle = GraftSqlInternals.truncate(frame)
+    frame = frameHandle.df
 
+    // scalars for iteration 0 / resume: dᵀx and eᵀx (one extra job, once)
+    val r0 = frame.agg(sum(col("dang") * col("rank")), sum(col("rank"))).head()
+    var dtx = r0.getDouble(0)
+    var sx = r0.getDouble(1)
+
+    val hasV = vDf.isDefined
+    val vCol = if (hasV) col("v") else lit(1.0 / n)
     val trace = scala.collection.mutable.ArrayBuffer[IterMetric]()
     var flushedUpTo = 0
     var iter = startIter
@@ -127,48 +160,46 @@ object PageRank {
 
     while (iter < cfg.maxIter && delta >= cfg.tol) {
       val t0 = System.nanoTime()
-      val contrib = spmv(prep, x).persist(StorageLevel.MEMORY_AND_DISK)
-      // ‖αPᵀx‖₁-style scalar: eᵀ(Pᵀx) (all weights/ranks ≥ 0 ⇒ sum = norm-1)
-      val sY = Option(contrib.agg(sum(col("y"))).head().get(0))
-        .map(_.asInstanceOf[Double]).getOrElse(0.0)
-      val omega = 1.0 - cfg.alpha * sY
-
-      val teleport = vDf match {
-        case Some(v) => // y += ω·v with explicit personalization vector
-          (xdf: DataFrame) => xdf.join(v, Seq("id"), "left")
-            .withColumn("tele", lit(omega) * coalesce(col("v"), lit(0.0)))
-        case None =>
-          (xdf: DataFrame) => xdf.withColumn("tele", lit(omega / n))
-      }
-      // Each iteration references x twice (SpMV + the update join), so the
-      // logical plan would double per step — truncate lineage eagerly every
-      // iteration (the residual aggregate materializes the data regardless).
-      val next = teleport(
-          x.withColumnRenamed("rank", "rank_prev")
-            .join(contrib, Seq("id"), "left"))
+      // ω = 1 − ‖αPᵀx‖₁ = 1 − α·(eᵀx − dᵀx), with eᵀx and dᵀx measured as
+      // side scalars of the previous iteration's aggregate — same
+      // self-correcting fold as the reference (ppagerank.cc:307-315).
+      // ω travels as a broadcast one-row frame, NOT an inlined literal: a
+      // changing literal would alter the generated code every iteration and
+      // force a Janino recompile of every stage (hundreds of ms serial).
+      val omega = 1.0 - cfg.alpha * (sx - dtx)
+      val contrib = spmv(prep, frame.select(col("id"), col("rank")))
+        .withColumnRenamed("y", "yraw")
+      val carry = Seq(col("id"), col("dang")) ++ (if (hasV) Seq(col("v")) else Nil)
+      val next = frame.select(carry :+ col("rank").as("rank_prev"): _*)
+        .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
         .withColumn("rank",
-          lit(cfg.alpha) * coalesce(col("y"), lit(0.0)) + col("tele"))
-        .select(col("id"), col("rank"),
-          abs(col("rank") - col("rank_prev")).as("diff"))
-        .localCheckpoint(true)
+          lit(cfg.alpha) * coalesce(col("yraw"), lit(0.0)) + lit(omega) * vCol)
+        .select(carry ++ Seq(col("rank"),
+          abs(col("rank") - col("rank_prev")).as("diff")): _*)
+      // lazy lineage truncation: the aggregate below materializes the data
+      // in one job; the previous iterate's blocks are unpersisted explicitly
+      val nextHandle = GraftSqlInternals.truncate(next)
 
-      val row = next.agg(sum(col("diff")), sum(col("rank"))).head()
+      // the iteration's single action: residual ‖xₖ₊₁−xₖ‖₁, next dᵀx, eᵀx
+      val row = nextHandle.df.agg(
+        sum(col("diff")), sum(col("dang") * col("rank")), sum(col("rank"))).head()
       delta = row.getDouble(0)
-      val rankSum = row.getDouble(1)
+      dtx = row.getDouble(1)
+      sx = row.getDouble(2)
+      val rankSum = sx
       iter += 1
-      val wallMs = (System.nanoTime() - t0) / 1000000L
-      trace += IterMetric(runId, iter, delta, rankSum, wallMs)
+      trace += IterMetric(runId, iter, delta, rankSum, (System.nanoTime() - t0) / 1000000L)
 
-      x.unpersist(false)
-      contrib.unpersist(false)
-      x = next.select(col("id"), col("rank"))
+      frameHandle.handle.unpersist(false)
+      frameHandle = nextHandle
+      frame = nextHandle.df.drop("diff")
 
       val converged = delta < cfg.tol
       if (converged || (cfg.checkpointDir.isDefined && iter % cfg.checkpointEvery == 0)) {
         cfg.checkpointDir.foreach { dir =>
-          val path = TableIO.commitSnapshot(x, s"$dir/$runId", s"iter_$iter")
-          x = spark.read.parquet(path)
-          // K1 convergence-trace sink: append only the not-yet-flushed rows.
+          val path = TableIO.commitSnapshot(frame, s"$dir/$runId", s"iter_$iter")
+          frame = spark.read.parquet(path)
+          // K1 convergence-trace sink: append only not-yet-flushed rows
           val fresh = trace.toSeq.drop(flushedUpTo)
           if (fresh.nonEmpty) TableIO.appendRows(fresh.toDF(), s"$dir/$runId/_metrics")
           flushedUpTo = trace.size
@@ -177,14 +208,7 @@ object PageRank {
       if (converged) reason = ConvergedReason.ResidualBelowTol
     }
 
-    (x.select(col("id"), col("rank")).as[VertexRank],
+    (frame.select(col("id"), col("rank")).as[VertexRank],
       PageRankStats(iter, delta, reason, trace.toSeq))
   }
-
-  private def initialX(g: LinkGraph, n: Long, vDf: Option[DataFrame]): DataFrame =
-    vDf match {
-      case Some(v) => g.vertices.join(v, Seq("id"), "left")
-        .select(col("id"), coalesce(col("v"), lit(0.0)).as("rank"))
-      case None => g.vertices.withColumn("rank", lit(1.0 / n))
-    }
 }

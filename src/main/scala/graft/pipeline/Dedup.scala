@@ -27,13 +27,20 @@ object Dedup {
   }
 
   /** MinHash signature (nHashes permutations) over the shingle set.
-    * h_i(S) = min over shingles s of mix(xxhash64(s), i) — the standard
-    * tabulation-free family; each h_i is a pure column expression.
+    * h_i(S) = min over shingles s of xxhash64(base(s), i) — the standard
+    * tabulation-free family. Shingle strings are hashed ONCE; the i-th
+    * permutation re-hashes the 8-byte long (O(1) per element, codegen'd,
+    * and ANSI-safe: raw long arithmetic would trip Spark 4's overflow
+    * checks), so the scan does one string pass instead of nHashes.
     */
-  def minhashSignature(shingleCol: Column, nHashes: Int): Column =
+  def minhashSignature(shingleCol: Column, nHashes: Int,
+      preHashed: Boolean = false): Column = {
+    val baseHashes =
+      if (preHashed) shingleCol else transform(shingleCol, s => xxhash64(s))
     array((0 until nHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+      array_min(transform(baseHashes, h => xxhash64(h, lit(i))))
     }: _*)
+  }
 
   /** MinHash-LSH near-duplicate pairs.
     * Pipeline: shingle → minhash(nBands·rowsPerBand) → band buckets →
@@ -47,7 +54,10 @@ object Dedup {
     val sh = shinglesExpr(col(textCol), shingleK)
     val sig = df.select(col(idCol).as("id"), sh.as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), n))
+      // materialize base hashes once per row before fanning out n mins
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("bh"))
+      .localCheckpoint(false)
+      .withColumn("sig", minhashSignature(col("bh"), n, preHashed = true))
       .select(col("id"), col("sig"))
     val bands = sig.select(col("id"), posexplode(
       array((0 until nBands).map(b =>

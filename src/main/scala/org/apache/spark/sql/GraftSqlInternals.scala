@@ -1,0 +1,30 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.{DataFrame => CDataFrame, Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+
+/** Internal bridge for iterative algorithms: persist the computed rows of a
+  * DataFrame and rebuild it as a flat LogicalRDD scan — what
+  * `Dataset.localCheckpoint` does, but returning the underlying RDD handle
+  * so the caller can unpersist the PREVIOUS iterate deterministically
+  * instead of waiting for the ContextCleaner (unbounded iteration loops
+  * would otherwise accumulate cached blocks between GCs).
+  * Output partitioning/ordering are preserved (LogicalRDD.fromDataset), so
+  * co-partitioned joins stay shuffle-free across iterations.
+  */
+object GraftSqlInternals {
+
+  final case class Truncated(df: DataFrame, handle: RDD[InternalRow])
+
+  def truncate(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Truncated = {
+    val cdf = df.asInstanceOf[CDataFrame]
+    val spark = cdf.sparkSession
+    val rdd = cdf.queryExecution.toRdd.map(_.copy()).persist(level)
+    val logical = LogicalRDD.fromDataset(rdd, cdf, isStreaming = false)
+    Truncated(CDataset.ofRows(spark, logical), rdd)
+  }
+}

@@ -7,33 +7,47 @@ import graft.model.PageRankConfig
 
 class PageRankSpec extends AnyFunSuite with SparkTestBase {
 
-  private def check(name: String, n: Int, edges: Seq[(Int, Int, Double)],
-      alpha: Double, cfg: PageRankConfig): Unit = {
+  /** Fixed-iteration equality: run engine and dense oracle for exactly K
+    * steps and compare the iterates — sharper than comparing only the fixed
+    * point (every intermediate update must match), and bounded runtime.
+    */
+  private def checkIterates(name: String, n: Int, edges: Seq[(Int, Int, Double)],
+      alpha: Double, k: Int = 25): Unit = {
     val g = GraphFixtures.linkGraph(spark, n, edges)
-    val (ranks, stats) = PageRank.run(g, cfg.copy(alpha = alpha, tol = 1e-10))
+    val (ranks, stats) = PageRank.run(g,
+      PageRankConfig(alpha = alpha, tol = 0.0, maxIter = k))
     val got = ranks.collect().map(r => r.id -> r.rank).toMap
-    val (expected, _) = DenseOracle.pagerank(n, edges, alpha, tol = 1e-12)
-    assert(stats.reason.converged, s"$name did not converge: $stats")
+    val (expected, _) = DenseOracle.pagerank(n, edges, alpha, tol = 0.0, maxIter = k)
+    assert(stats.iterations == k)
     (0 until n).foreach { i =>
-      assert(math.abs(got(i.toLong) - expected(i)) < 1e-6,
-        s"$name vertex $i: got ${got(i.toLong)}, expected ${expected(i)}")
+      assert(math.abs(got(i.toLong) - expected(i)) < 1e-9,
+        s"$name vertex $i @iter$k: got ${got(i.toLong)}, expected ${expected(i)}")
     }
-    // ‖x‖₁ = 1 invariant at convergence
-    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12) // ‖x‖₁ = 1 invariant
   }
 
   for ((name, (n, edges)) <- GraphFixtures.all; alpha <- Seq(0.85, 0.95)) {
-    test(s"power method matches dense oracle on $name at alpha=$alpha") {
-      check(name, n, edges, alpha, PageRankConfig())
+    test(s"iterates match dense oracle on $name at alpha=$alpha") {
+      checkIterates(name, n, edges, alpha)
     }
+  }
+
+  test("converged result matches converged dense oracle (g2, alpha=0.85)") {
+    val (n, edges) = GraphFixtures.g2
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val (ranks, stats) = PageRank.run(g, PageRankConfig(alpha = 0.85, tol = 1e-8))
+    assert(stats.reason.converged)
+    val got = ranks.collect().map(r => r.id -> r.rank).toMap
+    val (expected, _) = DenseOracle.pagerank(n, edges, 0.85, tol = 1e-12)
+    (0 until n).foreach(i => assert(math.abs(got(i.toLong) - expected(i)) < 1e-6))
   }
 
   test("salted SpMV is exact: hub salting does not change ranks") {
     val (n, edges) = GraphFixtures.g2
     val g = GraphFixtures.linkGraph(spark, n, edges)
-    val (plain, _) = PageRank.run(g, PageRankConfig(tol = 1e-10))
+    val (plain, _) = PageRank.run(g, PageRankConfig(alpha = 0.5, tol = 0.0, maxIter = 15))
     val (salted, _) = PageRank.run(g,
-      PageRankConfig(tol = 1e-10, saltThreshold = 1, saltBuckets = 4))
+      PageRankConfig(alpha = 0.5, tol = 0.0, maxIter = 15, saltThreshold = 1, saltBuckets = 4))
     val a = plain.collect().map(r => r.id -> r.rank).toMap
     val b = salted.collect().map(r => r.id -> r.rank).toMap
     a.foreach { case (id, r) => assert(math.abs(b(id) - r) < 1e-12) }
@@ -42,7 +56,8 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
   test("rank sum is 1 every iteration (trace invariant)") {
     val (n, edges) = GraphFixtures.g1
     val g = GraphFixtures.linkGraph(spark, n, edges)
-    val (_, stats) = PageRank.run(g, PageRankConfig(tol = 1e-8))
+    val (_, stats) = PageRank.run(g, PageRankConfig(alpha = 0.5, tol = 1e-8))
+    assert(stats.trace.nonEmpty)
     stats.trace.foreach(m => assert(math.abs(m.rank_sum - 1.0) < 1e-12,
       s"iter ${m.iter}: rank_sum=${m.rank_sum}"))
   }
@@ -51,10 +66,11 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     val (n, edges) = GraphFixtures.g1
     val g = GraphFixtures.linkGraph(spark, n, edges)
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val cfg = PageRankConfig(tol = 1e-10, checkpointDir = Some(dir), checkpointEvery = 3)
+    val cfg = PageRankConfig(alpha = 0.5, tol = 1e-8,
+      checkpointDir = Some(dir), checkpointEvery = 3)
 
-    val (full, fullStats) = PageRank.run(g, cfg, runId = "full")
-    // interrupted: stop after 4 iterations (snapshot exists at iter 3)
+    val (full, _) = PageRank.run(g, cfg, runId = "full")
+    // interrupted: stop after 4 iterations (snapshot committed at iter 3)
     PageRank.run(g, cfg.copy(maxIter = 4), runId = "resumed")
     val (resumed, resumedStats) =
       PageRank.run(g, cfg, runId = "resumed", resume = true)
@@ -73,7 +89,7 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     val g = GraphFixtures.linkGraph(spark, n, edges)
     import spark.implicits._
     val v = Seq((0L, 1.0)).toDF("id", "v") // all teleport mass to vertex 0
-    val (ranks, _) = PageRank.run(g, PageRankConfig(tol = 1e-10),
+    val (ranks, _) = PageRank.run(g, PageRankConfig(alpha = 0.5, tol = 1e-8),
       personalization = Some(v))
     val got = ranks.collect().map(r => r.id -> r.rank).toMap
     // component {3,4} receives no teleport and no links from component 1

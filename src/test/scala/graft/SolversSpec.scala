@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{ArnoldiPageRank, InOutPageRank, PageRank}
+import graft.model.PageRankConfig
+
+/** The reference exposes three algorithms (-alg power|inout|arnoldi,
+  * /root/reference/ppagerank.cc:130-142); all must converge to the same
+  * fixed point (allclose 1e-6, the north-rule contract).
+  */
+class SolversSpec extends AnyFunSuite with SparkTestBase {
+
+  for ((name, (n, edges)) <- Seq("g1" -> GraphFixtures.g1, "g2" -> GraphFixtures.g2,
+      "g4" -> GraphFixtures.g4)) {
+    test(s"inout converges to the power fixed point on $name") {
+      val g = GraphFixtures.linkGraph(spark, n, edges)
+      val (expected, _) = DenseOracle.pagerank(n, edges, 0.85, tol = 1e-12)
+      val (ranks, stats) = InOutPageRank.run(g,
+        InOutPageRank.InOutConfig(alpha = 0.85, tol = 1e-8, maxIter = 300))
+      assert(stats.reason.converged, s"inout did not converge on $name: $stats")
+      val got = ranks.collect().map(r => r.id -> r.rank).toMap
+      (0 until n).foreach(i => assert(math.abs(got(i.toLong) - expected(i)) < 1e-6,
+        s"$name vertex $i: got ${got(i.toLong)}, expected ${expected(i)}"))
+    }
+  }
+
+  test("inout uses inner iterations then degrades to power (trace sanity)") {
+    val (n, edges) = GraphFixtures.g1
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val (_, stats) = InOutPageRank.run(g,
+      InOutPageRank.InOutConfig(alpha = 0.85, tol = 1e-8, maxIter = 300))
+    assert(stats.trace.nonEmpty)
+    // residuals eventually decay below tol
+    assert(stats.trace.last.residual < 1e-8)
+  }
+
+  for ((name, (n, edges)) <- Seq("g2" -> GraphFixtures.g2, "g4" -> GraphFixtures.g4)) {
+    test(s"arnoldi converges to the power fixed point on $name") {
+      val g = GraphFixtures.linkGraph(spark, n, edges)
+      val (expected, _) = DenseOracle.pagerank(n, edges, 0.85, tol = 1e-12)
+      val (ranks, stats) = ArnoldiPageRank.run(g,
+        ArnoldiPageRank.ArnoldiConfig(alpha = 0.85, tol = 1e-8, maxRestarts = 40, k = 4))
+      assert(stats.reason.converged, s"arnoldi did not converge on $name: $stats")
+      val got = ranks.collect().map(r => r.id -> r.rank).toMap
+      val s = got.values.sum
+      (0 until n).foreach(i => assert(math.abs(got(i.toLong) / s - expected(i)) < 1e-6,
+        s"$name vertex $i: got ${got(i.toLong) / s}, expected ${expected(i)}"))
+    }
+  }
+
+  test("SmallSvd matches known singular values and A·v = σ·u") {
+    // A = [[3,0],[0,2],[0,0]] → σ = (3, 2)
+    val a = Array(Array(3.0, 0.0), Array(0.0, 2.0), Array(0.0, 0.0))
+    val (sig, v) = graft.util.SmallSvd.svd(a)
+    assert(math.abs(sig(0) - 3.0) < 1e-12 && math.abs(sig(1) - 2.0) < 1e-12)
+    // random 5x4: check A v_j has norm sigma_j and U columns orthogonal
+    val rnd = new scala.util.Random(7)
+    val b = Array.fill(5, 4)(rnd.nextDouble() - 0.5)
+    val (s2, v2) = graft.util.SmallSvd.svd(b)
+    for (j <- 0 until 4) {
+      val av = Array.tabulate(5)(i => (0 until 4).map(c => b(i)(c) * v2(c)(j)).sum)
+      val norm = math.sqrt(av.map(x => x * x).sum)
+      assert(math.abs(norm - s2(j)) < 1e-9, s"column $j: $norm vs ${s2(j)}")
+    }
+    assert(s2.sliding(2).forall(p => p(0) >= p(1) - 1e-12)) // descending
+  }
+}
