@@ -23,7 +23,12 @@ object GraftSqlInternals {
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Truncated = {
     val cdf = df.asInstanceOf[CDataFrame]
     val spark = cdf.sparkSession
-    val rdd = cdf.queryExecution.toRdd.map(_.copy()).persist(level)
+    val rdd = cdf.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level)
+    // truncate the RDD lineage too: persist alone keeps the parent-RDD
+    // object graph alive, which deepens every iteration until the scheduler
+    // or task deserializer recurses into a StackOverflowError
+    rdd.localCheckpoint()
     val logical = LogicalRDD.fromDataset(rdd, cdf, isStreaming = false)
     Truncated(CDataset.ofRows(spark, logical), rdd)
   }

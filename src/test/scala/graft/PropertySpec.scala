@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style invariants (SURVEY.md §5.3) on seeded random digraphs with
+  * power-law-ish target skew. Deterministic seeds — each case is a
+  * distributed job, so the case count is kept small.
+  */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+
+  private def randomGraph(seed: Int): (Int, Seq[(Int, Int, Double)]) = {
+    val rnd = new scala.util.Random(seed)
+    val n = 3 + rnd.nextInt(38)
+    val nEdges = n / 2 + rnd.nextInt(3 * n)
+    val edges = Seq.fill(nEdges) {
+      val s = rnd.nextInt(n)
+      // skew targets toward low ids (hub in-degree, exercises the agg path)
+      val t0 = (rnd.nextDouble() * rnd.nextDouble() * n).toInt min (n - 1)
+      val t = if (t0 == s) (s + 1) % n else t0
+      (s, t, 1.0)
+    }
+    (n, edges)
+  }
+
+  for (seed <- 1 to 4) {
+    test(s"property[$seed]: PageRank iterates equal dense oracle; ‖x‖₁ = 1") {
+      val (n, edges) = randomGraph(seed)
+      val g = GraphFixtures.linkGraph(spark, n, edges)
+      val (ranks, _) = graft.graph.PageRank.run(g,
+        graft.model.PageRankConfig(alpha = 0.85, tol = 0.0, maxIter = 8))
+      val got = ranks.collect().map(r => r.id -> r.rank).toMap
+      val (exp, _) = DenseOracle.pagerank(n, edges, 0.85, tol = 0.0, maxIter = 8)
+      (0 until n).foreach(i => assert(math.abs(got(i.toLong) - exp(i)) < 1e-9,
+        s"seed=$seed vertex $i"))
+      assert(math.abs(got.values.sum - 1.0) < 1e-10)
+    }
+
+    test(s"property[$seed]: PageRank invariant under vertex relabeling") {
+      val (n, edges) = randomGraph(seed + 100)
+      val relabeled = edges.map { case (s, d, w) => (n - 1 - s, n - 1 - d, w) }
+      val g1 = GraphFixtures.linkGraph(spark, n, edges)
+      val g2 = GraphFixtures.linkGraph(spark, n, relabeled)
+      val cfg = graft.model.PageRankConfig(alpha = 0.85, tol = 0.0, maxIter = 6)
+      val a = graft.graph.PageRank.run(g1, cfg)._1.collect().map(r => r.id -> r.rank).toMap
+      val b = graft.graph.PageRank.run(g2, cfg)._1.collect().map(r => r.id -> r.rank).toMap
+      (0 until n).foreach(i =>
+        assert(math.abs(a(i.toLong) - b((n - 1 - i).toLong)) < 1e-12, s"seed=$seed vertex $i"))
+    }
+
+    test(s"property[$seed]: CC matches union-find; triangles match brute force") {
+      val (n, edges) = randomGraph(seed + 200)
+      val g = GraphFixtures.linkGraph(spark, n, edges)
+      val pairs = edges.map(e => (e._1, e._2))
+      val cc = graft.graph.ConnectedComponents.run(g.edges, g.vertices)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = DenseOracle.components(n, pairs)
+      (0 until n).foreach(i => assert(cc(i.toLong) == exp(i).toLong, s"seed=$seed vertex $i"))
+      assert(graft.graph.Triangles.count(g.edges) == DenseOracle.triangles(n, pairs))
+    }
+
+    test(s"property[$seed]: label propagation matches dense oracle") {
+      val (n, edges) = randomGraph(seed + 300)
+      val g = GraphFixtures.linkGraph(spark, n, edges)
+      val got = graft.graph.LabelPropagation.run(g.edges, g.vertices, rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = DenseOracle.labelProp(n, edges.map(e => (e._1, e._2)), 3)
+      (0 until n).foreach(i => assert(got(i.toLong) == exp(i).toLong, s"seed=$seed vertex $i"))
+    }
+  }
+}
