@@ -16,7 +16,7 @@ object OracleSql {
   SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
          event_type AS role, props AS text,
-         CASE WHEN event_type = 'click'
+         CASE WHEN event_type = 'click' AND user_id % 7 <> 3
               THEN 'invoke:u' || CAST(CAST(FLOOR(value) AS BIGINT) % (SELECT MAX(user_id) + 1 FROM events) AS VARCHAR)
               ELSE NULL END AS tool,
          ts, user_id

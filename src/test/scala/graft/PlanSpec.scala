@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.PageRank
+import graft.model.PageRankConfig
+
+/** Physical-plan quality gates: the 100 TB posture depends on these plan
+  * shapes, so they are asserted, not hoped for.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan gets predicate pushdown and column pruning (r1)") {
+    val df = SparkEntry.queries("r1_agg_pushdown")(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    // pruned read schema: only the 5 referenced columns reach the scan
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length <= 5, s"scan reads too many columns: $readSchema")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned column: $readSchema")
+  }
+
+  test("SpMV join is a shuffled hash join — never a broadcast of the rank vector") {
+    val g = TestdataGraph.linkGraph(spark, "/root/testdata/sf0.001")
+    val prep = PageRank.prepare(g, PageRankConfig())
+    val x = g.vertices.withColumn("rank", lit(1.0 / g.numVertices))
+    val full = plan(PageRank.spmv(prep, x))
+    // judge only the per-iteration plan: everything under InMemoryRelation is
+    // the one-time cached graph build, where broadcasts are fine
+    val p = full.split("InMemoryRelation").head
+    assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin in:\n$p")
+    // the rank-vector side must not be broadcast (driver-serialized O(V))
+    assert(!p.contains("BroadcastHashJoin"), s"rank vector broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen covers the SpMV aggregate pipeline") {
+    val g = TestdataGraph.linkGraph(spark, "/root/testdata/sf0.001")
+    val prep = PageRank.prepare(g, PageRankConfig())
+    val x = g.vertices.withColumn("rank", lit(1.0 / g.numVertices))
+    val p = plan(PageRank.spmv(prep, x))
+    assert(p.contains("*("), s"no WholeStageCodegen spans in:\n$p") // codegen'd stages marked *(n)
+  }
+
+  test("flagship entry() returns ranked conversations (driver smoke contract)") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.length > 0)
+    // ranks are a probability vector over the vertex domain
+    val s = rows.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(s - 1.0) < 1e-6)
+  }
+}
