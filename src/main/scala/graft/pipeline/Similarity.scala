@@ -21,7 +21,15 @@ object Similarity {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — the native single-pass Catalyst kernel
+    * (graft.functions.CosineSimilarity, codegen'd); `cosineComposed` is the
+    * equivalent built-in-functions form kept as a differential-testing
+    * reference (five array passes + an intermediate array per row).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_native(a, b)
+
+  def cosineComposed(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm2(a) * norm2(b)
     when(n === 0, 0.0).otherwise(d / n)

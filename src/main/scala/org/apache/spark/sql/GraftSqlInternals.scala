@@ -17,6 +17,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraftSqlInternals {
 
+  /** Column ⇄ Expression bridge (classic.ExpressionUtils is private[sql]). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   final case class Truncated(df: DataFrame, handle: RDD[InternalRow])
 
   def truncate(df: DataFrame,

@@ -118,6 +118,36 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"recall too low: ${(exact intersect approx).size}/${exact.size}")
   }
 
+  test("native cosine kernel: equals composed form, codegen, guards, SQL registration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(60)(i => (i.toLong, Array.fill(33)(rnd.nextDouble() - 0.5)))
+      .toDF("id", "e")
+    val pairs = vecs.select(col("id").as("a"), col("e").as("ea"))
+      .crossJoin(vecs.select(col("id").as("b"), col("e").as("eb")))
+    val diff = pairs.select(
+        graft.pipeline.Similarity.cosine(col("ea"), col("eb")).as("nat"),
+        graft.pipeline.Similarity.cosineComposed(col("ea"), col("eb")).as("comp"))
+      .where(abs(col("nat") - col("comp")) > 1e-12)
+    assert(diff.count() == 0)
+    // codegen actually engaged (no CodegenFallback in the plan)
+    val p = pairs.select(graft.pipeline.Similarity.cosine(col("ea"), col("eb")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Fallback"), p)
+    // float arrays + guards
+    val f = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 0.0f), Array(1.0f)))
+      .toDF("a", "b", "z", "short")
+    val r = f.select(
+      graft.pipeline.Similarity.cosine(col("a"), col("b")).as("same"),
+      graft.pipeline.Similarity.cosine(col("a"), col("z")).as("zero"),
+      graft.pipeline.Similarity.cosine(col("a"), col("short")).as("mismatch")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    // SQL registration
+    graft.functions.VectorFunctions.register(spark)
+    f.createOrReplaceTempView("vf")
+    assert(spark.sql("SELECT cosine_sim(a, b) FROM vf").head().getDouble(0) == 1.0)
+  }
+
   test("multimodal: batched feature extraction preserves schema and determinism") {
     val m = Multimodal.syntheticMedia(spark, 50, partitions = 3)
     val f1 = Multimodal.extractFeatures(m, batchSize = 7).collect()
