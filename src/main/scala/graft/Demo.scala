@@ -37,7 +37,9 @@ object Demo {
       println(f"  iter ${m.iter}%4d  residual ${m.residual}%10.3e  ${m.wall_ms} ms"))
     println("top-10 by rank:")
     ranks.orderBy(org.apache.spark.sql.functions.desc("rank")).limit(10)
-      .join(g.dict, "id").show(10, truncate = false)
+      .join(g.dict, "id")
+      .orderBy(org.apache.spark.sql.functions.desc("rank"))
+      .show(10, truncate = false)
 
     val cc = ConnectedComponents.run(g.edges, g.vertices)
     println(s"components: ${cc.select("component").distinct().count()}")

@@ -74,8 +74,12 @@ object SparkEntry {
 
     "k3_toprank" -> ((s, dir) => {
       val r = pr5(s, dir).select(col("id"), round(col("rank"), 8).as("rank"))
+      // distributed top-k (TakeOrderedAndProject) FIRST, then rank the 10
+      // survivors — a global row_number window would move all rows to one
+      // partition
+      val top = r.orderBy(desc("rank"), asc("id")).limit(10)
       val w = Window.orderBy(desc("rank"), asc("id"))
-      r.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 10)
+      top.withColumn("rk", row_number().over(w).cast("long"))
     }),
 
     "cc_components" -> ((s, dir) => {

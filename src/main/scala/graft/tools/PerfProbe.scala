@@ -17,9 +17,10 @@ object PerfProbe {
     val aqe = args(2)
     val bcast = args(3) // "on" -> default 10MB, "off" -> -1
     val doExplain = args.length > 4 && args(4) == "explain"
+    val parts = sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", threads.toString)
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
-      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.autoBroadcastJoinThreshold", if (bcast == "on") "10485760" else "-1")
       .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/tmp"))
