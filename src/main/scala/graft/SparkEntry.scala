@@ -82,6 +82,21 @@ object SparkEntry {
       top.withColumn("rk", row_number().over(w).cast("long"))
     }),
 
+    // rows-only (converged fixed points vs power are asserted in SolversSpec;
+    // a fixed-iteration SQL twin is not meaningful for these solvers)
+    "a3_inout" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      InOutPageRank.run(g, InOutPageRank.InOutConfig(tol = 1e-4, maxIter = 10))._1
+        .toDF().select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
+    "a4_arnoldi" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      ArnoldiPageRank.run(g, ArnoldiPageRank.ArnoldiConfig(tol = 1e-6, k = 4,
+        maxRestarts = 3))._1
+        .toDF().select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
     "cc_components" -> ((s, dir) => {
       val g = TestdataGraph.linkGraph(s, dir)
       ConnectedComponents.run(g.edges, g.vertices)
