@@ -134,10 +134,12 @@ object PageRank {
     var startIter = 0
     var frame: DataFrame = (cfg.checkpointDir, resume) match {
       case (Some(dir), true) =>
-        TableIO.latestSnapshot(spark, s"$dir/$runId", "iter_") match {
-          case Some((k, path)) =>
+        // north rule: a snapshot is only trusted after its per-partition
+        // lineage digest validates; corrupted/partial snapshots fall back
+        TableIO.latestValidSnapshot(spark, s"$dir/$runId", "iter_") match {
+          case Some((k, snap)) =>
             startIter = k
-            spark.read.parquet(path)
+            snap
           case None => initialFrame()
         }
       case _ => initialFrame()
@@ -197,8 +199,9 @@ object PageRank {
       val converged = delta < cfg.tol
       if (converged || (cfg.checkpointDir.isDefined && iter % cfg.checkpointEvery == 0)) {
         cfg.checkpointDir.foreach { dir =>
-          val path = TableIO.commitSnapshot(frame, s"$dir/$runId", s"iter_$iter")
-          frame = spark.read.parquet(path)
+          // snapshot + per-partition lineage sidecar in one commit protocol
+          frame = TableIO.commitSnapshotWithLineage(
+            frame, s"$dir/$runId", runId, "iter_", iter)
           // K1 convergence-trace sink: append only not-yet-flushed rows
           val fresh = trace.toSeq.drop(flushedUpTo)
           if (fresh.nonEmpty) TableIO.appendRows(fresh.toDF(), s"$dir/$runId/_metrics")

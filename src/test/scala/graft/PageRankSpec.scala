@@ -84,6 +84,54 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(metrics.count() > 0)
   }
 
+  test("per-partition lineage sidecar is written with every snapshot and " +
+      "covers every partition (north rule)") {
+    import org.apache.spark.sql.functions._
+    val (n, edges) = GraphFixtures.g1
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    PageRank.run(g, PageRankConfig(alpha = 0.5, tol = 1e-8,
+      checkpointDir = Some(dir), checkpointEvery = 3), runId = "lin")
+    val snaps = graft.ingest.TableIO.snapshots(spark, s"$dir/lin", "iter_")
+    assert(snaps.nonEmpty)
+    val lineage = spark.read.parquet(s"$dir/lin/_lineage")
+    assert(lineage.columns.sorted.toSeq ==
+      Seq("digest", "iter", "partition_id", "row_count", "run_id"))
+    snaps.foreach { case (k, path) =>
+      val lin = lineage.where(col("iter") === k)
+      // every non-empty partition of the committed snapshot has a lineage row
+      // and the recorded row counts sum to the snapshot's total
+      val snap = spark.read.parquet(path)
+      val parts = snap.groupBy(spark_partition_id().as("p")).count().count()
+      assert(lin.count() == parts, s"iter $k: ${lin.count()} lineage rows, $parts partitions")
+      assert(lin.agg(sum(col("row_count"))).head().getLong(0) == snap.count())
+    }
+  }
+
+  test("resume distrusts a snapshot whose lineage digest no longer validates") {
+    import org.apache.spark.sql.functions._
+    val (n, edges) = GraphFixtures.g1
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    val cfg = PageRankConfig(alpha = 0.5, tol = 1e-10,
+      checkpointDir = Some(dir), checkpointEvery = 2)
+    PageRank.run(g, cfg.copy(maxIter = 5), runId = "c") // snapshots at 2 and 4
+    val snaps = graft.ingest.TableIO.snapshots(spark, s"$dir/c", "iter_")
+    assert(snaps.map(_._1) == Seq(2, 4))
+    // corrupt the latest snapshot: delete its data files but keep the dir
+    val latestPath = new java.io.File(new java.net.URI(snaps.last._2).getPath)
+    latestPath.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val valid = graft.ingest.TableIO.latestValidSnapshot(spark, s"$dir/c", "iter_")
+    assert(valid.isDefined && valid.get._1 == 2,
+      s"expected fallback to iter 2, got ${valid.map(_._1)}")
+    // and the resumed run still converges to the uninterrupted result
+    val (full, _) = PageRank.run(g, cfg, runId = "full")
+    val (resumed, _) = PageRank.run(g, cfg, runId = "c", resume = true)
+    val a = full.collect().map(r => r.id -> r.rank).toMap
+    val b = resumed.collect().map(r => r.id -> r.rank).toMap
+    a.foreach { case (id, r) => assert(math.abs(b(id) - r) < 1e-12) }
+  }
+
   test("personalization vector shifts mass toward the personalized vertex") {
     val (n, edges) = GraphFixtures.g3
     val g = GraphFixtures.linkGraph(spark, n, edges)

@@ -1,74 +1,57 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB correctness gate.
+"""Replicates the driver's DuckDB correctness gate against a Verify dump.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
-For each query in oracle_sql.json: run the SQL in DuckDB against the sf
-tables, load the Spark parquet result, sort columns by name + rows by all
-columns, and compare row count, schema (dtype kinds), and values.
+Usage: python3 tools/oracle_check.py [sf_dir] [verify_out]
+Compares rows/schema/value-hash per query; prints one line per query.
 """
 import sys, json, glob
 import duckdb
 import pandas as pd
-import numpy as np
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem',
+          'events','documents','embeddings']:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
-    fails = 0
-    for name, sql in sorted(sqls.items()):
-        try:
-            exp = canon(con.sql(sql).df())
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            fails += 1
-            continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
-            fails += 1
-            continue
-        got = canon(duckdb.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
-        status = []
-        if list(exp.columns) != list(got.columns):
-            status.append(f"cols exp={list(exp.columns)} got={list(got.columns)}")
-        elif len(exp) != len(got):
-            status.append(f"rows exp={len(exp)} got={len(got)}")
-        else:
-            for c in exp.columns:
-                e, g = exp[c], got[c]
-                if e.dtype.kind != g.dtype.kind:
-                    status.append(f"dtype[{c}] exp={e.dtype} got={g.dtype}")
-                    continue
-                if e.dtype.kind == 'f':
-                    both_nan = e.isna() & g.isna()
-                    neq = ~both_nan & (e != g)
-                else:
-                    neq = (e.astype(object) != g.astype(object)) & ~(e.isna() & g.isna())
-                if neq.any():
-                    i = int(np.argmax(neq.values))
-                    status.append(f"val[{c}] row{i} exp={e.iloc[i]!r} got={g.iloc[i]!r} ({int(neq.sum())} diffs)")
-        if status:
-            print(f"FAIL {name}: " + "; ".join(status))
-            fails += 1
-        else:
-            print(f"PASS {name} ({len(exp)} rows)")
-    # rows-only checks
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = d.rstrip('/').split('/')[-1]
-        if name not in sqls:
-            n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
-            print(f"{'PASS' if n > 0 else 'WARN'} {name} (rows-only: {n} rows)")
-    print(f"\n{fails} failures")
-    return 1 if fails else 0
-
-if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+sqls = json.load(open(f'{out}/oracle_sql.json'))
+fails = 0
+for name in sorted(glob.glob(f'{out}/*/')):
+    qname = name.rstrip('/').split('/')[-1]
+    got = duckdb.sql(f"SELECT * FROM read_parquet('{name}*.parquet')").df()
+    if qname not in sqls:
+        print(f"{qname:24s} rows={len(got):6d}  no_oracle")
+        continue
+    try:
+        exp = con.sql(sqls[qname]).df()
+    except Exception as e:
+        print(f"{qname:24s} ORACLE SQL ERROR: {e}")
+        fails += 1
+        continue
+    ok_rows = len(got) == len(exp)
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    ok_schema = gcols == ecols
+    ok_hash = False
+    if ok_rows and ok_schema:
+        g = got[gcols].sort_values(gcols).reset_index(drop=True)
+        e = exp[ecols].sort_values(ecols).reset_index(drop=True)
+        # normalize dtypes like the driver hash does (string render)
+        ok_hash = g.astype(str).equals(e.astype(str))
+    status = 'PASS' if (ok_rows and ok_schema and ok_hash) else 'FAIL'
+    if status == 'FAIL':
+        fails += 1
+        print(f"{qname:24s} rows={len(got)}/{len(exp)} schema={ok_schema} hash={ok_hash}  FAIL")
+        if ok_rows and ok_schema:
+            g = got[gcols].sort_values(gcols).reset_index(drop=True)
+            e = exp[ecols].sort_values(ecols).reset_index(drop=True)
+            diff = (g.astype(str) != e.astype(str)).any(axis=1)
+            print("  spark:", g[diff].head(3).to_dict('records'))
+            print("  oracle:", e[diff].head(3).to_dict('records'))
+        elif ok_schema is False:
+            print(f"  spark cols: {gcols}\n  oracle cols: {ecols}")
+    else:
+        print(f"{qname:24s} rows={len(got):6d}  PASS")
+print(f"\n{'ALL PASS' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)
