@@ -42,12 +42,13 @@ object Options {
   *
   *   runMain graft.Main -m <source> [-alpha a] [-tol t] [-maxiter n]
   *     [-alg power|inout|arnoldi] [-pvec parquet] [-out dir] [-noout]
-  *     [-checkpoint dir] [-salt thresh] [-script]
+  *     [-checkpoint dir] [-salt thresh] [-script] [-saveedges dir]
   *
   * `-m` accepts a transcripts parquet/directory path (schema = the
-  * north-rule input_hint) or `synth:<nConv>` for the deterministic
-  * generator — the analogue of MatLoadPickType's format dispatch
-  * (ppagerank_main.cc:268-344). `-script` reads option lines from stdin and
+  * north-rule input_hint), `synth:<nConv>` for the deterministic
+  * generator, or `edges:<dir>` for a durable EdgeStore layout written by a
+  * previous `-saveedges` run — the analogue of MatLoadPickType's format
+  * dispatch (ppagerank_main.cc:268-344). `-script` reads option lines from stdin and
   * runs each against the once-normalized graph (ppagerank_main.cc:360-475;
   * see /root/reference/test_script). Unlike the reference (whose `-noout` is
   * parsed but output writing was never implemented, ppagerank.cc:71-72), the
@@ -72,13 +73,22 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- load + derive + normalize ONCE (ppagerank_main.cc:131-136, 408) ----
-    val turns = if (mSource.startsWith("synth:"))
-      TranscriptGen.generate(spark, mSource.stripPrefix("synth:").toLong)
+    val g = if (mSource.startsWith("edges:"))
+      graft.ingest.EdgeStore.read(spark, mSource.stripPrefix("edges:"))
     else {
-      import spark.implicits._
-      spark.read.parquet(mSource).as[graft.model.Turn]
+      val turns = if (mSource.startsWith("synth:"))
+        TranscriptGen.generate(spark, mSource.stripPrefix("synth:").toLong)
+      else {
+        import spark.implicits._
+        spark.read.parquet(mSource).as[graft.model.Turn]
+      }
+      GraphOps.fromTranscripts(turns)
     }
-    val g = GraphOps.fromTranscripts(turns)
+    // durable CSR-like layout for later `-m edges:<dir>` runs
+    opts.str("saveedges").filter(_.nonEmpty).foreach { p =>
+      graft.ingest.EdgeStore.write(g, p)
+      println(s"edge store written to $p")
+    }
     // K2 matrix stats report (ppagerank_main.cc:202-253)
     GraphOps.matrixStats(g).show(truncate = false)
 

@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   * dot product and both norms in a single pass.
   *
   * Semantics: inputs are ARRAY<FLOAT> or ARRAY<DOUBLE> (elements promoted to
-  * double); null if either side is null; 0.0 if either norm is 0 or lengths
-  * differ (same guards as `Similarity.cosine`).
+  * double); null if either side is null OR contains a null element (the
+  * composed zip_with/aggregate form null-propagates element nulls the same
+  * way); 0.0 if either norm is 0 or lengths differ (same guards as
+  * `Similarity.cosine`).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,7 +40,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = left.nullable || right.nullable ||
+    elemNullable(left) || elemNullable(right)
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -51,7 +58,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val (fa, fb) = (isFloat(left), isFloat(right))
+    val checkNulls = elemNullable(left) || elemNullable(right)
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -64,11 +73,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val getA = if (isFloat(left)) "getFloat" else "getDouble"
     val getB = if (isFloat(right)) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local through ctx.freshName: inlined whole-stage codegen would
+      // otherwise collide with same-named variables from sibling expressions
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      // per-element null check only compiled in when the schema allows null
+      // elements (zero cost on the common containsNull=false embedding scan)
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -76,12 +95,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double x = (double) $a.$getA($i);
-         |    double y = (double) $b.$getB($i);
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |    $nullCheck
+         |    double $x = (double) $a.$getA($i);
+         |    double $y = (double) $b.$getB($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |      ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

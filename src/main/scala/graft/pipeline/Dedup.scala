@@ -15,12 +15,18 @@ object Dedup {
 
   /** Exact dedup: group identical normalized text, keep the smallest id.
     * Returns (id, keep_id, group_size).
+    *
+    * The group key is (fingerprint, normalized text): the 64-bit fingerprint
+    * prefix keeps shuffle-key comparisons cheap and the partitioning
+    * balanced, while carrying the text itself guarantees a hash collision
+    * can never silently merge two distinct documents — at web scale a 64-bit
+    * hash alone WOULD collide (birthday bound ≈ 5·10⁹ docs for p=0.5).
     */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = TextAnalysis.fingerprint(col(textCol)).as("fp")
-    // two-stage: hash first so the wide text column never shuffles
-    val w = Window.partitionBy(col("fp"))
-    df.select(col(idCol).as("id"), fp)
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val w = Window.partitionBy(col("fp"), col("norm"))
+    df.select(col(idCol).as("id"), norm.as("norm"))
+      .withColumn("fp", xxhash64(col("norm")))
       .withColumn("keep_id", min(col("id")).over(w))
       .withColumn("group_size", count(lit(1)).over(w))
       .select(col("id"), col("keep_id"), col("group_size"))

@@ -29,5 +29,32 @@ class EdgeStoreSpec extends AnyFunSuite with SparkTestBase {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(pruned.count() > 0)
     assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    // raw (pre-normalization) multiplicities survive the round trip
+    val ra = g.rawEdges.collect().map(e => (e.src, e.dst, e.weight)).toSet
+    val rb = g2.rawEdges.collect().map(e => (e.src, e.dst, e.weight)).toSet
+    assert(ra == rb)
+  }
+
+  test("rank join over a re-read store shuffles only the vector side") {
+    val g = GraphOps.fromTranscripts(TranscriptGen.generate(spark, 300))
+    val dir = java.nio.file.Files.createTempDirectory("graft-edges2").toString
+    EdgeStore.write(g, dir, buckets = 8)
+    val g2 = EdgeStore.read(spark, dir)
+    g2.edges.count() // materialize the cache
+    val prep = PageRank.prepare(g2, PageRankConfig())
+    val x = g2.vertices.withColumn("rank", lit(1.0 / g2.numVertices))
+    val spmv = PageRank.spmv(prep, x)
+    spmv.count() // finalize AQE plan
+    val p = spmv.queryExecution.executedPlan.toString
+    // the edge side must flow from the cached, already-src-partitioned scan
+    // straight into the join: a re-shuffle would show up as an
+    // ENSURE_REQUIREMENTS exchange on src (the cache-build REPARTITION_BY_COL
+    // inside InMemoryRelation is the one-time read cost, not per-join)
+    assert(p.contains("InMemoryTableScan"), s"edge cache not used:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$p")
+    val edgeReshuffle =
+      """Exchange hashpartitioning\(src#\d+L?, \d+\), ENSURE_REQUIREMENTS""".r
+    assert(edgeReshuffle.findFirstIn(p).isEmpty,
+      s"edge side re-shuffled despite durable store:\n$p")
   }
 }

@@ -146,6 +146,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     graft.functions.VectorFunctions.register(spark)
     f.createOrReplaceTempView("vf")
     assert(spark.sql("SELECT cosine_sim(a, b) FROM vf").head().getDouble(0) == 1.0)
+    // null-element semantics match the composed (zip_with/aggregate) form:
+    // a null element null-propagates to a null result, in eval AND codegen
+    val withNulls = Seq(
+      (Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)),
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0, 2.0)))
+      .toDF("na", "nb")
+    val nr = withNulls.select(
+      graft.pipeline.Similarity.cosine(col("na"), col("nb")).as("nat"),
+      graft.pipeline.Similarity.cosineComposed(col("na"), col("nb")).as("comp"))
+      .collect()
+    assert(nr(0).isNullAt(0) && nr(0).isNullAt(1), nr(0).toString)
+    assert(!nr(1).isNullAt(0) && math.abs(nr(1).getDouble(0) - 1.0) < 1e-12)
   }
 
   test("multimodal: batched feature extraction preserves schema and determinism") {
