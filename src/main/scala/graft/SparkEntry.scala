@@ -200,12 +200,10 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")).as("quality"))),
 
     // ---- dedup family (rows-only: hash/LSH signatures are engine-specific) ----
-    "d1_minhash_neardup" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val cand = Dedup.minhashCandidates(docs)
-      Dedup.verifyJaccard(cand, docs, threshold = 0.5)
-        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
-    }),
+    "d1_minhash_neardup" -> ((s, dir) =>
+      // shared-shingle pipeline: one shingling pass feeds both LSH and verify
+      Dedup.minhashNearDup(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
 
     "d2_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashCandidates(s.read.parquet(s"$dir/documents.parquet"))),
@@ -242,8 +240,10 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("embedding"))
       // testdata embeddings are near-orthogonal random vectors (max pairwise
-      // cosine ≈ 0.51) — 0.4 keeps the operator observable at this scale
-      Similarity.cosineNearDup(emb, threshold = 0.4)
+      // cosine ≈ 0.51) — 0.4 keeps the operator observable at this scale,
+      // and 8 bands × 6 planes gives ~40% per-pair recall at cos 0.4
+      // (98% at the cos ≥ 0.9 pairs the operator exists for)
+      Similarity.cosineNearDup(emb, threshold = 0.4, nBands = 8, planesPerBand = 6)
     }),
 
     // ---- multimodal plumbing (rows-only: stubbed decode, real batching) ----

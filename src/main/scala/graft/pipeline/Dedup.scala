@@ -34,12 +34,22 @@ object Dedup {
 
   /** MinHash signature (nHashes permutations) over the shingle set.
     * h_i(S) = min over shingles s of xxhash64(base(s), i) — the standard
-    * tabulation-free family. Shingle strings are hashed ONCE; the i-th
-    * permutation re-hashes the 8-byte long (O(1) per element, codegen'd,
-    * and ANSI-safe: raw long arithmetic would trip Spark 4's overflow
-    * checks), so the scan does one string pass instead of nHashes.
+    * tabulation-free family. Shingle strings are hashed ONCE, then the
+    * fused `MinHashSig` kernel accumulates all nHashes minima in a single
+    * traversal (vs nHashes full `array_min(transform(...))` passes with
+    * nHashes intermediate arrays). Bit-identical to the composed form.
     */
   def minhashSignature(shingleCol: Column, nHashes: Int,
+      preHashed: Boolean = false): Column = {
+    val baseHashes =
+      if (preHashed) shingleCol else transform(shingleCol, s => xxhash64(s))
+    graft.functions.HashFunctions.minhash_sig(baseHashes, nHashes)
+  }
+
+  /** The composed built-in-functions form of `minhashSignature`, kept as the
+    * differential-testing reference for the fused kernel.
+    */
+  def minhashSignatureComposed(shingleCol: Column, nHashes: Int,
       preHashed: Boolean = false): Column = {
     val baseHashes =
       if (preHashed) shingleCol else transform(shingleCol, s => xxhash64(s))
@@ -48,31 +58,66 @@ object Dedup {
     }: _*)
   }
 
+  /** Banded LSH buckets from a minhash signature frame (id, sig). */
+  private def bandBuckets(sig: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"), posexplode(
+      array((0 until nBands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*))
+      .as(Seq("band", "bucket")))
+
+  /** Hashed shingle sets: xxhash64 of every char k-gram of the normalized
+    * text via the fused `ShingleHashes` kernel — the shingle *strings* never
+    * materialize (the composed route allocates one UTF8String per shingle
+    * before hashing: ~2000 allocations per document, the dominant scan cost).
+    * Duplicates are kept; every consumer (min, intersect, union) has set
+    * semantics.
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.HashFunctions.shingle_hashes(
+      regexp_replace(lower(trim(text)), "\\s+", " "), k)
+
   /** MinHash-LSH near-duplicate pairs.
-    * Pipeline: shingle → minhash(nBands·rowsPerBand) → band buckets →
+    * Pipeline: hashed shingles → minhash(nBands·rowsPerBand) → band buckets →
     * self-join per bucket → distinct candidate pairs (a < b). The verify
     * step (exact Jaccard on the candidates only) is `verifyJaccard`.
     */
   def minhashCandidates(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleK: Int = 5,
       nBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val n = nBands * rowsPerBand
-    val sh = shinglesExpr(col(textCol), shingleK)
-    val sig = df.select(col(idCol).as("id"), sh.as("sh"))
+    val sh = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
-      // materialize base hashes once per row before fanning out n mins
-      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("bh"))
-      .localCheckpoint(false)
-      .withColumn("sig", minhashSignature(col("bh"), n, preHashed = true))
-      .select(col("id"), col("sig"))
-    val bands = sig.select(col("id"), posexplode(
-      array((0 until nBands).map(b =>
-        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*))
-      .as(Seq("band", "bucket")))
+    candidatesFromHashedShingles(sh, nBands, rowsPerBand)
+  }
+
+  private def candidatesFromHashedShingles(sh: DataFrame, nBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sig = sh.select(col("id"),
+      minhashSignature(col("sh"), nBands * rowsPerBand, preHashed = true).as("sig"))
+    val bands = bandBuckets(sig, nBands, rowsPerBand)
     val l = bands.select(col("band"), col("bucket"), col("id").as("a"))
     val r = bands.select(col("band"), col("bucket"), col("id").as("b"))
     l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: candidates + exact-Jaccard verify with
+    * the hashed shingle sets computed ONCE and shared between both stages
+    * (the separate candidates→verify composition shingles every document
+    * twice — the dominant cost at scale since shingling is the only
+    * full-text pass). Jaccard over hashed shingle sets equals Jaccard over
+    * the string sets barring a 64-bit within-document collision
+    * (~|doc|²/2⁶⁴ ≈ 10⁻¹⁰).
+    */
+  def minhashNearDup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleK: Int = 5,
+      nBands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint(false) // shingled once; reused by signature AND verify
+    val cand = candidatesFromHashedShingles(sh, nBands, rowsPerBand)
+    jaccardOnPairs(cand, sh, threshold)
   }
 
   /** Exact Jaccard similarity for given candidate pairs (a, b). */
@@ -80,6 +125,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 5, threshold: Double = 0.7): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shinglesExpr(col(textCol), shingleK).as("sh"))
+    jaccardOnPairs(candidates, sh, threshold)
+  }
+
+  /** Exact Jaccard over (a, b) pairs given a prepared (id, sh) shingle frame. */
+  private def jaccardOnPairs(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
     candidates
       .join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
       .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b")
@@ -88,14 +139,20 @@ object Dedup {
       .withColumn("jaccard", when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
-  }
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum over
     * tokens of (token-hash bit i ? +1 : -1). Near-dups = signatures within
     * `maxHamming`; bucketing by 4 16-bit chunks guarantees recall for
-    * maxHamming ≤ 3 (pigeonhole).
+    * maxHamming ≤ 3 (pigeonhole). The fused `SimHash64` kernel builds all
+    * 64 bit-counters in one traversal of the token hashes (the composed
+    * form below re-scans the array 64 times, once per bit).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(
+      transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)))
+
+  /** Composed built-in form of `simhash` — differential-testing reference. */
+  def simhashComposed(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val hashes = transform(toks, t => xxhash64(t))
     (0 until 64).map { i =>
@@ -123,25 +180,63 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Word n-gram Jaccard similarity for all bucket-joined candidate pairs
-    * sharing at least one n-gram (exact, no LSH approximation) — practical
-    * only with a shared-ngram prefilter, which is what the join provides.
+  /** Word n-gram Jaccard similarity for candidate pairs sharing at least one
+    * n-gram of document frequency ≤ `maxDf` (the df cap is the scale guard:
+    * without it, one n-gram shared by 10⁶ documents makes 10¹² candidate
+    * pairs from a single posting list — frequent grams carry no near-dup
+    * signal, so dropping them from the *candidate* stage bounds the
+    * self-join at ≤ maxDf² pairs per gram while the verify stage still
+    * computes Jaccard over the FULL gram sets).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      textCol: String = "text", n: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    val d = ngramHashSets(df, idCol, textCol, n).localCheckpoint(false)
+    verify(ngramCandidates(d, maxDf), d)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** (id, grams) word-n-gram sets as distinct xxhash64 values — the fused
+    * `WordNgramHashes` kernel hashes each token window in place, so gram
+    * strings never materialize and the inverted index joins on 8-byte longs
+    * instead of ~20-byte strings. Distinct-hash sets ≡ distinct-gram sets
+    * barring a within-corpus 64-bit collision.
+    */
+  def ngramHashSets(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val grams = array_distinct(
+      graft.functions.HashFunctions.word_ngram_hashes(norm, n))
+    df.select(col(idCol).as("id"), grams.as("grams"))
+      .where(size(col("grams")) > 0)
+  }
+
+  /** (id, grams) word-n-gram sets as strings — differential-testing
+    * reference for `ngramHashSets` (compare via xxhash64 of each gram).
+    */
+  def ngramSets(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val grams = array_distinct(filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")),
       g => size(split(g, " ")) === n))
-    val d = df.select(col(idCol).as("id"), grams.as("grams"))
+    df.select(col(idCol).as("id"), grams.as("grams"))
       .where(size(col("grams")) > 0)
+  }
+
+  /** Candidate pairs from the df-capped inverted n-gram index: one aggregate
+    * + semi-join keeps every posting list that reaches the pair join at
+    * ≤ maxDf entries, bounding the self-join at ≤ maxDf·df pairs total.
+    */
+  def ngramCandidates(d: DataFrame, maxDf: Int): DataFrame = {
     val inv = d.select(col("id"), explode(col("grams")).as("g"))
-    val cand = inv.select(col("g"), col("id").as("a"))
-      .join(inv.select(col("g"), col("id").as("b")), "g")
+    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("g"))
+    val capped = inv.join(rare, Seq("g"), "left_semi")
+    capped.select(col("g"), col("id").as("a"))
+      .join(capped.select(col("g"), col("id").as("b")), "g")
       .where(col("a") < col("b")).select(col("a"), col("b")).distinct()
-    verify(cand, d)
-      .where(col("jaccard") >= threshold)
   }
 
   private def verify(cand: DataFrame, d: DataFrame): DataFrame =

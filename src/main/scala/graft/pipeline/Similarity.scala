@@ -52,9 +52,16 @@ object Similarity {
 
   /** Sign-pattern bucket key from `nPlanes` pseudo-random hyperplanes.
     * Plane p's component for dimension i is a deterministic ±hash value —
-    * no stored plane matrix, fully reproducible across executors.
+    * no stored plane matrix, fully reproducible across executors. Computed
+    * by the fused `LshSignBits` kernel: one embedding traversal accumulates
+    * all plane projections (the composed form below re-walks the array per
+    * plane and materializes a weights array per row·plane).
     */
-  def lshKey(embedding: Column, nPlanes: Int, seed: Int = 7): Column = {
+  def lshKey(embedding: Column, nPlanes: Int, seed: Int = 7): Column =
+    graft.functions.HashFunctions.lsh_sign_bits(embedding, nPlanes, seed)
+
+  /** Composed built-in form of `lshKey` — differential-testing reference. */
+  def lshKeyComposed(embedding: Column, nPlanes: Int, seed: Int = 7): Column = {
     val keyBits = (0 until nPlanes).map { p =>
       // signed pseudo-weight per (plane, dim): xxhash64(p, seed, i) mapped to ±[0,1)
       val proj = aggregate(
@@ -86,15 +93,36 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"), col("rk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold),
-    * LSH-bucketed so only same-bucket pairs are compared.
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+    *
+    * Banded multi-table LSH (the minhash-banding shape): `nBands` bands of
+    * `planesPerBand` hyperplanes each; two rows are candidates iff they
+    * agree on ALL sign bits of SOME band. A single flat table (the old
+    * 6-plane design) put N/2⁶ rows in each bucket — within-bucket all-pairs
+    * is O(N²/64), still quadratic; banding keeps recall (any one band can
+    * match) while each band slices N into 2^planesPerBand buckets, and the
+    * `maxBucket` guard drops degenerate buckets (dense regions — e.g. a
+    * zero-vector pileup) so no single bucket can go quadratic.
     */
-  def cosineNearDup(df: DataFrame, threshold: Double, nPlanes: Int = 6): DataFrame = {
+  def cosineNearDup(df: DataFrame, threshold: Double, nBands: Int = 4,
+      planesPerBand: Int = 12, maxBucket: Int = 2000, seed: Int = 7): DataFrame = {
+    val total = nBands * planesPerBand
+    require(total <= 63, s"nBands*planesPerBand must be <= 63, got $total")
+    val mask = (1L << planesPerBand) - 1
     val d = df.select(col("id"), col("embedding"))
-      .withColumn("key", lshKey(col("embedding"), nPlanes))
-    val l = d.select(col("key"), col("id").as("a"), col("embedding").as("ea"))
-    val r = d.select(col("key"), col("id").as("b"), col("embedding").as("eb"))
-    l.join(r, Seq("key")).where(col("a") < col("b"))
+      .withColumn("key", lshKey(col("embedding"), total, seed))
+    val bands = d.select(col("id"), col("embedding"), posexplode(
+      array((0 until nBands).map(b =>
+        shiftright(col("key"), b * planesPerBand).bitwiseAND(lit(mask))): _*))
+      .as(Seq("band", "pattern")))
+    // bucket-size guard: an oversized bucket is excluded from the pair join
+    val ok = bands.groupBy(col("band"), col("pattern"))
+      .agg(count(lit(1)).as("c")).where(col("c") <= maxBucket)
+      .select(col("band"), col("pattern"))
+    val g = bands.join(ok, Seq("band", "pattern"), "left_semi")
+    val l = g.select(col("band"), col("pattern"), col("id").as("a"), col("embedding").as("ea"))
+    val r = g.select(col("band"), col("pattern"), col("id").as("b"), col("embedding").as("eb"))
+    l.join(r, Seq("band", "pattern")).where(col("a") < col("b"))
       .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
       .where(col("cos") >= threshold)
       .distinct()

@@ -69,6 +69,129 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("fused kernels are bit-identical to their composed built-in forms") {
+    import spark.implicits._
+    // minhash: same signatures from MinHashSig and the n× array_min form
+    val sh = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), Dedup.shinglesExpr(col("text"), 5).as("sh"))
+      .where(size(col("sh")) > 0)
+    val mh = sh.select(
+      Dedup.minhashSignature(col("sh"), 32).as("fused"),
+      Dedup.minhashSignatureComposed(col("sh"), 32).as("composed"))
+      .collect()
+    mh.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString) }
+    // simhash: same 64-bit signature from SimHash64 and the 64-aggregate form
+    val simh = docs.select(
+      Dedup.simhash(col("text")).as("fused"),
+      Dedup.simhashComposed(col("text")).as("composed")).collect()
+    simh.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // lsh sign bits: same bucket keys from LshSignBits and the per-plane form
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.tabulate(50)(i => (i.toLong, Array.fill(24)(rnd.nextDouble() - 0.5)))
+      .toDF("id", "embedding")
+    val keys = vecs.select(
+      Similarity.lshKey(col("embedding"), 48, seed = 7).as("fused"),
+      Similarity.lshKeyComposed(col("embedding"), 48, seed = 7).as("composed"))
+      .collect()
+    keys.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // float embeddings too (the common storage type)
+    val fvecs = Seq.tabulate(20)(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("id", "embedding")
+    val fkeys = fvecs.select(
+      Similarity.lshKey(col("embedding"), 12, seed = 2).as("fused"),
+      Similarity.lshKeyComposed(col("embedding").cast("array<double>"), 12, seed = 2)
+        .as("composed")).collect()
+    fkeys.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // shingle hashes: the fused char-k-gram kernel equals xxhash64 over the
+    // composed substr shingles (set-compare: composed applies array_distinct)
+    val shEq = docs.where(length(trim(col("text"))) >= 5).select(
+      array_sort(array_distinct(Dedup.shingleHashes(col("text"), 5))).as("fused"),
+      array_sort(transform(Dedup.shinglesExpr(col("text"), 5), s => xxhash64(s)))
+        .as("composed")).collect()
+    assert(shEq.nonEmpty)
+    shEq.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString) }
+    // multi-byte UTF-8 chars: boundaries respected
+    val utf8 = Seq((100L, "héllo wörld ünïcode ärger")).toDF("doc_id", "text")
+    val uEq = utf8.select(
+      array_sort(array_distinct(Dedup.shingleHashes(col("text"), 5))).as("fused"),
+      array_sort(transform(Dedup.shinglesExpr(col("text"), 5), s => xxhash64(s)))
+        .as("composed")).head()
+    assert(uEq.getSeq[Long](0) == uEq.getSeq[Long](1))
+    // word n-gram hashes: fused in-place token-window hashing equals
+    // xxhash64 over the composed array_join(slice(...)) gram strings
+    val both = Dedup.ngramHashSets(docs.union(utf8), "doc_id", "text", 3)
+      .withColumnRenamed("grams", "fused")
+      .join(Dedup.ngramSets(docs.union(utf8), "doc_id", "text", 3)
+        .withColumnRenamed("grams", "strs"), "id")
+      .select(array_sort(col("fused")).as("fused"),
+        array_sort(array_distinct(transform(col("strs"), s => xxhash64(s)))).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+    // docs with < n tokens produce no grams in either form
+    assert(Dedup.ngramHashSets(utf8.select(col("doc_id"),
+      lit("only two").as("text")), "doc_id", "text", 3).count() == 0)
+    // and all engage codegen (no interpreted fallback in the plan)
+    val p = sh.select(Dedup.minhashSignature(col("sh"), 32))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Fallback"), p)
+  }
+
+  test("minhashNearDup (shared shingles) equals candidates+verify composition") {
+    val a = Dedup.minhashNearDup(docs, nBands = 16, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.verifyJaccard(
+      Dedup.minhashCandidates(docs, nBands = 16, rowsPerBand = 2), docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("ngram df-cap bounds an adversarial corpus without losing planted near-dups") {
+    import spark.implicits._
+    // 1000 docs share one common trigram but are otherwise all distinct;
+    // docs 9001/9002 are a planted near-dup pair with rare grams only
+    val common = Seq.tabulate(1000)(i =>
+      (i.toLong, s"aaa bbb ccc unique$i token$i filler${i * 31}"))
+    val planted = Seq(
+      (9001L, "rare gram alpha beta gamma delta epsilon"),
+      (9002L, "rare gram alpha beta gamma delta zeta"))
+    val corpus = (common ++ planted).toDF("doc_id", "text")
+    val d = Dedup.ngramSets(corpus, n = 3)
+    // uncapped: the common trigram alone yields ~499k candidate pairs;
+    // capped at df<=10 its posting list is dropped, leaving only rare-gram pairs
+    val capped = Dedup.ngramCandidates(d, maxDf = 10)
+    assert(capped.count() == 1, s"expected only the planted pair")
+    val verified = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.5, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((9001L, 9002L)))
+  }
+
+  test("banded cosine LSH finds planted near-dups; bucket guard bounds pileups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def jitter(v: Array[Double], eps: Double) =
+      v.map(x => x + eps * (rnd.nextDouble() - 0.5))
+    val base = Array.fill(32)(rnd.nextGaussian())
+    val near = Seq((100L, base), (101L, jitter(base, 0.01)), (102L, jitter(base, 0.02)))
+    val noise = Seq.tabulate(200)(i => (i.toLong, Array.fill(32)(rnd.nextGaussian())))
+    val df = (near ++ noise).toDF("id", "embedding")
+    val found = Similarity.cosineNearDup(df, threshold = 0.95,
+      nBands = 8, planesPerBand = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((100L, 101L), (100L, 102L), (101L, 102L)), found.toString)
+    // bucket-size guard: 500 identical vectors pile into one bucket per band;
+    // with maxBucket below the pileup the quadratic join is refused
+    val pile = Seq.tabulate(500)(i => (i.toLong, base)).toDF("id", "embedding")
+    val guarded = Similarity.cosineNearDup(pile, threshold = 0.9,
+      nBands = 2, planesPerBand = 8, maxBucket = 100)
+    assert(guarded.count() == 0)
+    val unguarded = Similarity.cosineNearDup(pile, threshold = 0.9,
+      nBands = 2, planesPerBand = 8, maxBucket = 1000)
+    assert(unguarded.count() == 500L * 499 / 2)
+  }
+
   test("langId: English vs German-ish markers, und for no markers") {
     val r = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
