@@ -82,7 +82,10 @@ object Main {
         import spark.implicits._
         spark.read.parquet(mSource).as[graft.model.Turn]
       }
-      GraphOps.fromTranscripts(turns)
+      // -trans (ppagerank_main.cc:121-122): PageRank over incoming links —
+      // the edge list is transposed before normalization, which is the
+      // reference's colsum + right-diagonal-scale path (ppagerank.cc:183-209)
+      GraphOps.fromTranscripts(turns, transpose = opts.flag("trans"))
     }
     // durable CSR-like layout for later `-m edges:<dir>` runs
     opts.str("saveedges").filter(_.nonEmpty).foreach { p =>
@@ -127,15 +130,17 @@ object Main {
           checkpointDir = ckpt, saltThreshold = salt),
           resume = o.flag("resume"), personalization = pvec)
       case "inout" =>
-        (InOutPageRank.run(g, InOutPageRank.InOutConfig(
+        InOutPageRank.run(g, InOutPageRank.InOutConfig(
           alpha = alpha,
           beta = o.str("inout_beta").filter(_.nonEmpty).map(_.toDouble),
           eta = o.dbl("inout_eta", 1e-2),
           maxInnerIter = o.int("inout_max_inner_iter", 1000),
-          tol = tol, maxIter = maxiter, saltThreshold = salt)))
+          tol = tol, maxIter = maxiter, saltThreshold = salt),
+          personalization = pvec)
       case "arnoldi" =>
         ArnoldiPageRank.run(g, ArnoldiPageRank.ArnoldiConfig(
-          alpha = alpha, tol = tol, maxRestarts = maxiter, saltThreshold = salt))
+          alpha = alpha, tol = tol, maxRestarts = maxiter, saltThreshold = salt),
+          personalization = pvec)
       case other =>
         // PPAGERANK_ERR_ALG_UNKNOWN (ppagerank.h:28, ppagerank.cc:140-142)
         throw new IllegalArgumentException(s"unknown algorithm: $other")

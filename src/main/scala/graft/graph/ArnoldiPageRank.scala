@@ -19,9 +19,14 @@ import graft.util.SmallSvd
   *
   * Spark shape: the k basis vectors live as k columns of ONE id-aligned
   * frame (never k separate shuffles); each Arnoldi step is one SpMV job plus
-  * one batched-dot-products job (VecMTDot ≙ a single multi-sum aggregate).
-  * eᵀ-sums are tracked analytically (M is stochastic: eᵀ(Mx) = eᵀx);
-  * dᵀ-sums ride along in the aggregates.
+  * two batched-dot-products jobs (VecMTDot ≙ a single multi-sum aggregate).
+  * The second dot pass is CGS2 re-orthogonalization ("twice is enough") —
+  * the reference's single-pass classical Gram-Schmidt (VecMTDot + VecMAXPY,
+  * ppagerank.cc:573-587) loses orthogonality near convergence and floors
+  * the residual around 1e-10; the repeat pass pushes the attainable floor
+  * to ~1e-13. It also lets ‖g‖ and the eᵀ/dᵀ sums of each new basis vector
+  * be MEASURED in the same aggregate instead of propagated analytically
+  * (cancellation-free where the analytic recursions drift).
   *
   * Deviation from the reference: the reference leaves the final iterate
   * ‖·‖₂-normalized with arbitrary sign (its output sink is unimplemented,
@@ -39,18 +44,30 @@ object ArnoldiPageRank {
       saltBuckets: Int = 8)
 
   def run(g: LinkGraph, cfg: ArnoldiConfig = ArnoldiConfig(),
-      runId: String = "arnoldi"): (Dataset[VertexRank], PageRankStats) = {
+      runId: String = "arnoldi",
+      personalization: Option[DataFrame] = None): (Dataset[VertexRank], PageRankStats) = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val n = g.numVertices
     val alpha = cfg.alpha
     val k = cfg.k
+    // personalization v (ppagerank.cc:91-104) rides as a column; the full
+    // operator becomes M x = αPᵀx + (α·dᵀx + (1−α)·eᵀx)·v
+    val hasV = personalization.isDefined
+    val vCol = if (hasV) col("v") else lit(1.0 / n)
     val prep = PageRank.prepare(g,
       PageRankConfig(saltThreshold = cfg.saltThreshold, saltBuckets = cfg.saltBuckets))
 
     val srcs = g.edges.select(col("src").as("id")).distinct().withColumn("nd", lit(1))
-    val base = g.vertices.join(srcs, Seq("id"), "left")
+    val base0 = g.vertices.join(srcs, Seq("id"), "left")
       .select(col("id"), when(col("nd").isNull, 1.0).otherwise(0.0).as("dang"))
+    val base = personalization match {
+      case Some(p) => base0
+        .join(p.select(col("id"), col("v").cast("double")), Seq("id"), "left")
+        .select(col("id"), col("dang"), coalesce(col("v"), lit(0.0)).as("v"))
+      case None => base0
+    }
+    val carry = Seq(col("id"), col("dang")) ++ (if (hasV) Seq(col("v")) else Nil)
 
     /** w = M x for column `xc` of `frame`, given the scalars eᵀx, dᵀx.
       * Pure plan transformation (no action): adds column `w`.
@@ -58,20 +75,22 @@ object ArnoldiPageRank {
     def mMult(frame: DataFrame, xc: String, ex: Double, dx: Double): DataFrame = {
       val yraw = PageRank.spmv(prep,
         frame.select(col("id"), col(xc).as("rank"))).withColumnRenamed("y", "yraw")
-      val teleport = (alpha * dx + (1 - alpha) * ex) / n
+      val teleport = alpha * dx + (1 - alpha) * ex
       frame.join(yraw.hint("shuffle_hash"), Seq("id"), "left")
-        .withColumn("w", lit(alpha) * coalesce(col("yraw"), lit(0.0)) + lit(teleport))
+        .withColumn("w",
+          lit(alpha) * coalesce(col("yraw"), lit(0.0)) + lit(teleport) * vCol)
         .drop("yraw")
     }
 
-    // x₀ = v = uniform (ppagerank.cc:544-550)
-    var x = GraftSqlInternals.truncate(
-      base.withColumn("x", lit(1.0 / n))).df
-    var ex = 1.0          // eᵀx
-    var (dx, xNorm2, xNorm1) = {
-      val r = x.agg(sum(col("dang") * col("x")), sum(col("x") * col("x")),
-        sum(abs(col("x")))).head()
-      (r.getDouble(0), math.sqrt(r.getDouble(1)), r.getDouble(2))
+    // x₀ = v (ppagerank.cc:544-550)
+    val tr0 = GraftSqlInternals.truncate(base.withColumn("x",
+      if (hasV) col("v") else lit(1.0 / n)))
+    var x = tr0.df
+    var xHandle: Option[org.apache.spark.sql.GraftSqlInternals.Truncated] = Some(tr0)
+    var (ex, dx, xNorm2, xNorm1) = {
+      val r = x.agg(sum(col("x")), sum(col("dang") * col("x")),
+        sum(col("x") * col("x")), sum(abs(col("x")))).head()
+      (r.getDouble(0), r.getDouble(1), math.sqrt(r.getDouble(2)), r.getDouble(3))
     }
 
     val trace = scala.collection.mutable.ArrayBuffer[IterMetric]()
@@ -92,34 +111,58 @@ object ArnoldiPageRank {
       var breakdown = false
 
       var j = 0
+      var prevHandle: Option[org.apache.spark.sql.GraftSqlInternals.Truncated] = None
+      // release the previous truncated frame only AFTER an action has
+      // materialized its successor — localCheckpoint truncates lineage, so
+      // unpersisting earlier would lose the only copy of the data
+      def retire(t: org.apache.spark.sql.GraftSqlInternals.Truncated): Unit = {
+        prevHandle.foreach(_.handle.unpersist(false))
+        prevHandle = Some(t)
+      }
       while (j < k && !breakdown) {
-        // w = M v_j; H(i,j) = vᵢᵀw for i ≤ j (VecMTDot, ppagerank.cc:573);
-        // g = w − Σ H(i,j)·vᵢ; H(j+1,j) = ‖g‖₂
+        // w = M v_j; H(i,j) = vᵢᵀw for i ≤ j (VecMTDot, ppagerank.cc:573)
         frame = mMult(frame, s"v$j", evs(j), dvs(j))
         val dotCols = (0 to j).map(i => sum(col(s"v$i") * col("w"))) ++
-          Seq(sum(col("w") * col("w")), sum(col("dang") * col("w")))
-        val tr = GraftSqlInternals.truncate(frame)
-        frame = tr.df
+          Seq(sum(col("w") * col("w")))
+        val t1 = GraftSqlInternals.truncate(frame)
+        frame = t1.df
         val row = frame.agg(dotCols.head, dotCols.tail: _*).head()
+        retire(t1)
         for (i <- 0 to j) h(i)(j) = row.getDouble(i)
         val ww = row.getDouble(j + 1)
-        val dw = row.getDouble(j + 2)
-        val ew = evs(j) // M stochastic: eᵀw = eᵀv_j
-        // g = w − Σ h(i,j) v_i as a column; β = ‖g‖₂ via the orthonormal-basis
-        // identity ‖g‖² = wᵀw − Σ h(i,j)² (v_i orthonormal)
-        val beta2 = ww - (0 to j).map(i => h(i)(j) * h(i)(j)).sum
+        // g = w − Σ h(i,j)·vᵢ, then CGS2: measure the residual projections
+        // c_i = vᵢᵀg (≈0 in exact arithmetic), fold them back into H, and
+        // measure ‖g‖², eᵀg, dᵀg directly in the same aggregate
+        val gCol = (0 to j).foldLeft(col("w")) { (acc, i) =>
+          acc - lit(h(i)(j)) * col(s"v$i")
+        }
+        frame = frame.withColumn("g", gCol).drop("w")
+        val dotCols2 = (0 to j).map(i => sum(col(s"v$i") * col("g"))) ++
+          Seq(sum(col("g") * col("g")), sum(col("g")), sum(col("dang") * col("g")))
+        val t2 = GraftSqlInternals.truncate(frame)
+        frame = t2.df
+        val row2 = frame.agg(dotCols2.head, dotCols2.tail: _*).head()
+        retire(t2)
+        val c = Array.tabulate(j + 1)(i => row2.getDouble(i))
+        val gg = row2.getDouble(j + 1)
+        val eg = row2.getDouble(j + 2)
+        val dg = row2.getDouble(j + 3)
+        for (i <- 0 to j) h(i)(j) += c(i)
+        // β = ‖g − Σ cᵢvᵢ‖₂ via the identity on the measured gᵀg — safe here
+        // because the c correction is O(ε)·‖g‖, so no catastrophic cancellation
+        val beta2 = gg - c.map(x => x * x).sum
         val beta = math.sqrt(math.max(beta2, 0.0))
         h(j + 1)(j) = beta
         effK = j + 1
         if (beta < 1e-12 * math.sqrt(ww)) {
           breakdown = true // happy breakdown: Krylov space exhausted
         } else {
-          val gCol = (0 to j).foldLeft(col("w")) { (acc, i) =>
-            acc - lit(h(i)(j)) * col(s"v$i")
+          val g2Col = (0 to j).foldLeft(col("g")) { (acc, i) =>
+            acc - lit(c(i)) * col(s"v$i")
           }
-          frame = frame.withColumn(s"v${j + 1}", gCol / lit(beta)).drop("w")
-          evs(j + 1) = (ew - (0 to j).map(i => h(i)(j) * evs(i)).sum) / beta
-          dvs(j + 1) = (dw - (0 to j).map(i => h(i)(j) * dvs(i)).sum) / beta
+          frame = frame.withColumn(s"v${j + 1}", g2Col / lit(beta)).drop("g")
+          evs(j + 1) = (eg - (0 to j).map(i => c(i) * evs(i)).sum) / beta
+          dvs(j + 1) = (dg - (0 to j).map(i => c(i) * dvs(i)).sum) / beta
         }
         j += 1
       }
@@ -138,20 +181,24 @@ object ArnoldiPageRank {
       val exNew = (0 until m).map(i => vmin(i) * evs(i)).sum
       val dxNew = (0 until m).map(i => vmin(i) * dvs(i)).sum
       var xf = frame.withColumn("x", xCol)
-        .select(col("id"), col("dang"), col("x"))
+        .select(carry :+ col("x"): _*)
       // convergence: δ = ‖Mx − x‖₁/‖x‖₁ (ppagerank.cc:649-657) + next sums
       xf = mMult(xf, "x", exNew, dxNew)
-      val tr2 = GraftSqlInternals.truncate(xf.select(col("id"), col("dang"), col("x"),
-        col("w"), abs(col("w") - col("x")).as("rdiff")))
+      val tr2 = GraftSqlInternals.truncate(xf.select(carry ++ Seq(col("x"),
+        col("w"), abs(col("w") - col("x")).as("rdiff")): _*))
       val row = tr2.df.agg(sum(col("rdiff")), sum(abs(col("x"))),
-        sum(col("dang") * col("x")), sum(col("x") * col("x"))).head()
+        sum(col("dang") * col("x")), sum(col("x") * col("x")), sum(col("x"))).head()
       val num = row.getDouble(0)
       xNorm1 = row.getDouble(1)
       dx = row.getDouble(2)
       xNorm2 = math.sqrt(row.getDouble(3))
-      ex = exNew
+      ex = row.getDouble(4) // measured eᵀx (the analytic exNew drifts)
       delta = num / xNorm1
-      x = tr2.df.select(col("id"), col("dang"), col("x"))
+      x = tr2.df.select(carry :+ col("x"): _*)
+      // the basis-vector frame and the previous restart's x are dead now
+      prevHandle.foreach(_.handle.unpersist(false))
+      xHandle.foreach(_.handle.unpersist(false))
+      xHandle = Some(tr2)
 
       restart += 1
       trace += IterMetric(runId, restart, delta, xNorm1, (System.nanoTime() - t0) / 1000000L)

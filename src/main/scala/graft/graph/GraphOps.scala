@@ -85,7 +85,7 @@ object GraphOps {
     * dangling vertices simply have no outgoing rows.
     */
   def fromTranscripts(turns: Dataset[Turn], denseIds: Boolean = true,
-      buckets: Int = 0): LinkGraph = {
+      buckets: Int = 0, transpose: Boolean = false): LinkGraph = {
     val spark = turns.sparkSession
     val pairs = linkPairs(turns)
     val convs = turns.select(col("conv_id")).distinct()
@@ -95,11 +95,18 @@ object GraphOps {
       .persist()
     dict.count() // materialize once; reused for src and dst mapping
 
-    val raw = pairs
+    val fwd = pairs
       .join(dict.withColumnRenamed("conv_id", "src_conv").withColumnRenamed("id", "src"), "src_conv")
       .join(dict.withColumnRenamed("conv_id", "dst_conv").withColumnRenamed("id", "dst"), "dst_conv")
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).cast("double").as("weight"))
+    // `-trans` (ppagerank_main.cc:121-122): interpret the stored matrix as
+    // Aᵀ — normalization then divides by the ORIGINAL column sums and the
+    // iteration walks incoming links (reverse PageRank). Transposing the
+    // edge list before row-normalization is exactly the reference's
+    // colsum + right-diagonal-scale path (ppagerank.cc:183-209).
+    val raw = if (!transpose) fwd
+      else fwd.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
     normalizeFrom(raw, dict.select(col("id")), dict, buckets)
   }
 
@@ -155,16 +162,33 @@ object GraphOps {
 
   /** One-off describe-style matrix stats ≙ WriteSimpleMatrixStats
     * (/root/reference/ppagerank_main.cc:202-253): rows, nnz, norm-1
-    * (max column abs sum), norm-inf (max row abs sum), min/max degrees.
+    * (max column abs sum), norm-inf (max row abs sum), plus the reference's
+    * min/max spread — here min/max out-/in-degree over vertices that have at
+    * least one edge in that direction (the reference's per-rank row/nnz
+    * spread is partition balance, reported by `partitionBalance` instead,
+    * since Spark re-partitions declaratively).
     */
   def matrixStats(g: LinkGraph): DataFrame = {
     val spark = g.edges.sparkSession
-    val rowSums = g.edges.groupBy(col("src")).agg(sum(abs(col("weight"))).as("s"))
-    val colSums = g.edges.groupBy(col("dst")).agg(sum(abs(col("weight"))).as("s"))
-    val normInf = rowSums.agg(max(col("s"))).head().getDouble(0)
-    val norm1 = colSums.agg(max(col("s"))).head().getDouble(0)
+    val rowAgg = g.edges.groupBy(col("src"))
+      .agg(sum(abs(col("weight"))).as("s"), count(lit(1)).as("deg"))
+      .agg(max(col("s")), min(col("deg")), max(col("deg"))).head()
+    val colAgg = g.edges.groupBy(col("dst"))
+      .agg(sum(abs(col("weight"))).as("s"), count(lit(1)).as("deg"))
+      .agg(max(col("s")), min(col("deg")), max(col("deg"))).head()
     import spark.implicits._
-    Seq((g.numVertices, g.numEdges, norm1, normInf))
-      .toDF("n_vertices", "n_edges", "norm_1", "norm_inf")
+    Seq((g.numVertices, g.numEdges, colAgg.getDouble(0), rowAgg.getDouble(0),
+      rowAgg.getLong(1), rowAgg.getLong(2), colAgg.getLong(1), colAgg.getLong(2)))
+      .toDF("n_vertices", "n_edges", "norm_1", "norm_inf",
+        "min_outdeg", "max_outdeg", "min_indeg", "max_indeg")
   }
+
+  /** Per-partition balance of the edge layout ≙ the reference's per-rank
+    * min/max rows/nnz report (/root/reference/ppagerank_main.cc:202-253):
+    * (partition, n_edges, n_distinct_src).
+    */
+  def partitionBalance(g: LinkGraph): DataFrame =
+    g.edges.toDF()
+      .groupBy(spark_partition_id().as("partition"))
+      .agg(count(lit(1)).as("n_edges"), countDistinct(col("src")).as("n_src"))
 }

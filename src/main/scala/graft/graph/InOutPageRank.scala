@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, GraftSqlInternals, Row}
 import org.apache.spark.sql.functions._
 
 import graft.model._
@@ -36,35 +36,58 @@ object InOutPageRank {
       saltBuckets: Int = 8)
 
   def run(g: LinkGraph, cfg: InOutConfig = InOutConfig(),
-      runId: String = "inout"): (Dataset[VertexRank], PageRankStats) = {
+      runId: String = "inout",
+      personalization: Option[DataFrame] = None): (Dataset[VertexRank], PageRankStats) = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val n = g.numVertices
     val alpha = cfg.alpha
     val beta = cfg.beta.getOrElse(alpha / 2)
     val vUniform = 1.0 / n
+    // personalization v (ppagerank.cc:91-104): carried as a column; the
+    // analytic eᵀ bookkeeping generalizes with sv = eᵀv (1 for uniform)
+    val hasV = personalization.isDefined
+    val vCol = if (hasV) col("v") else lit(vUniform)
     val prep = PageRank.prepare(g,
       PageRankConfig(saltThreshold = cfg.saltThreshold, saltBuckets = cfg.saltBuckets))
+
+    // rolling lineage truncation: each checkpointed frame is unpersisted as
+    // soon as its successor has materialized (the reference pattern from
+    // PageRank.run) — without this, every inner sweep leaks cached blocks
+    var prevHandle: Option[GraftSqlInternals.Truncated] = None
+    def truncateAndAgg(df: DataFrame, aggCols: Seq[Column]): (DataFrame, Row) = {
+      val t = GraftSqlInternals.truncate(df)
+      val row = t.df.agg(aggCols.head, aggCols.tail: _*).head()
+      prevHandle.foreach(_.handle.unpersist(false))
+      prevHandle = Some(t)
+      (t.df, row)
+    }
 
     /** y = Bx = Pᵀx + (dᵀx)·v with dᵀx = sx − eᵀPᵀx; frame in: (id, x[, carry…]),
       * out: (id, …, y). Returns (frame, eᵀPᵀx) — one job (the aggregate).
       */
     def danglingMult(frame: DataFrame, sx: Double): (DataFrame, Double) = {
       val yraw = PageRank.spmv(prep, frame.select(col("id"), col("x").as("rank")))
-      val joined = frame.join(yraw, Seq("id"), "left")
+      val pre = frame.join(yraw, Seq("id"), "left")
         .withColumn("yraw", coalesce(col("y"), lit(0.0))).drop("y")
-        .localCheckpoint(false)
-      val s = Option(joined.agg(sum(col("yraw"))).head().get(0))
-        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val (joined, row) = truncateAndAgg(pre, Seq(sum(col("yraw"))))
+      val s = Option(row.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
       val dtx = sx - s
-      (joined.withColumn("y", col("yraw") + lit(dtx * vUniform)).drop("yraw"), s)
+      (joined.withColumn("y", col("yraw") + lit(dtx) * vCol).drop("yraw"), s)
     }
 
     // x₀ = v (ppagerank.cc:366-371); y₀ = Bx₀
-    var frame = g.vertices.withColumn("x", lit(vUniform))
-    var sx = 1.0
+    var frame = personalization match {
+      case Some(p) => g.vertices
+        .join(p.select(col("id"), col("v").cast("double")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("v"), lit(0.0)).as("v"))
+        .withColumn("x", col("v"))
+      case None => g.vertices.withColumn("x", lit(vUniform))
+    }
+    val sv = if (hasV) frame.agg(sum(col("v"))).head().getDouble(0) else 1.0
+    var sx = sv
     var (f0, _) = danglingMult(frame, sx)
-    frame = f0 // (id, x, y)
+    frame = f0 // (id, [v,] x, y)
 
     val trace = scala.collection.mutable.ArrayBuffer[IterMetric]()
     var innerMode = true
@@ -79,27 +102,27 @@ object InOutPageRank {
         // y += ωv; δ = ‖y − x‖₁; x ← y
         val yraw = PageRank.spmv(prep, frame.select(col("id"), col("x").as("rank")))
           .withColumn("y", col("y") * alpha)
-        val j = frame.select(col("id"), col("x"))
+        val carry = Seq(col("id")) ++ (if (hasV) Seq(col("v")) else Nil)
+        val jPre = frame.select(carry :+ col("x"): _*)
           .join(yraw, Seq("id"), "left")
           .withColumn("ay", coalesce(col("y"), lit(0.0))).drop("y")
-          .localCheckpoint(false)
-        val s = Option(j.agg(sum(col("ay"))).head().get(0))
-          .map(_.asInstanceOf[Double]).getOrElse(0.0)
+        val (j, jRow) = truncateAndAgg(jPre, Seq(sum(col("ay"))))
+        val s = Option(jRow.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
         val omega = 1.0 - s
-        val nxt = j.select(col("id"),
-            (col("ay") + lit(omega * vUniform)).as("x"),
-            abs(col("ay") + lit(omega * vUniform) - col("x")).as("diff"))
-          .localCheckpoint(false)
-        delta = nxt.agg(sum(col("diff"))).head().getDouble(0)
-        frame = nxt.select(col("id"), col("x"))
-        sx = 1.0
+        val nxtPre = j.select(carry ++ Seq(
+          (col("ay") + lit(omega) * vCol).as("x"),
+          abs(col("ay") + lit(omega) * vCol - col("x")).as("diff")): _*)
+        val (nxt, nxtRow) = truncateAndAgg(nxtPre, Seq(sum(col("diff"))))
+        delta = nxtRow.getDouble(0)
+        frame = nxt.drop("diff")
+        sx = s + omega * sv
       } else {
         // f = (α−β)y + (1−α)v (ppagerank.cc:412-421)
         var st = frame.withColumn("f",
-          lit(alpha - beta) * col("y") + lit((1 - alpha) * vUniform))
+          lit(alpha - beta) * col("y") + lit(1 - alpha) * vCol)
         // sums: eᵀy = eᵀx (B column-stochastic); eᵀf
         var sy = sx
-        var sf = (alpha - beta) * sy + (1 - alpha)
+        var sf = (alpha - beta) * sy + (1 - alpha) * sv
         var innerIter = 0
         var innerDelta = Double.MaxValue
         var exitedAtZero = false
@@ -110,10 +133,10 @@ object InOutPageRank {
           val sxInner = beta * sy + sf
           val (multd, _) = danglingMult(withX.drop("y"), sxInner)
           sy = sxInner // eᵀ(Bx) = eᵀx
-          val scored = multd
+          val scoredPre = multd
             .withColumn("diff", abs(col("f") + lit(beta) * col("y") - col("x")))
-            .localCheckpoint(false)
-          innerDelta = scored.agg(sum(col("diff"))).head().getDouble(0)
+          val (scored, scoredRow) = truncateAndAgg(scoredPre, Seq(sum(col("diff"))))
+          innerDelta = scoredRow.getDouble(0)
           st = scored.drop("diff")
           sx = sxInner
           innerIter += 1
@@ -123,16 +146,17 @@ object InOutPageRank {
           }
         }
         // outer residual δ = ‖x − αy − (1−α)v‖₁ (ppagerank.cc:456-465)
-        val scoredOuter = st
+        val outerPre = st
           .withColumn("odiff",
-            abs(col("x") - lit(alpha) * col("y") - lit((1 - alpha) * vUniform)))
-          .localCheckpoint(false)
-        delta = scoredOuter.agg(sum(col("odiff"))).head().getDouble(0)
+            abs(col("x") - lit(alpha) * col("y") - lit(1 - alpha) * vCol))
+        val (scoredOuter, outerRow) = truncateAndAgg(outerPre, Seq(sum(col("odiff"))))
+        delta = outerRow.getDouble(0)
         if (exitedAtZero) {
           // x ← αy + (1−α)v (ppagerank.cc:467-477) before switching to power
-          frame = scoredOuter.select(col("id"),
-            (lit(alpha) * col("y") + lit((1 - alpha) * vUniform)).as("x"))
-          sx = alpha * sy + (1 - alpha)
+          val carry = Seq(col("id")) ++ (if (hasV) Seq(col("v")) else Nil)
+          frame = scoredOuter.select(carry :+
+            (lit(alpha) * col("y") + lit(1 - alpha) * vCol).as("x"): _*)
+          sx = alpha * sy + (1 - alpha) * sv
         } else {
           frame = scoredOuter.drop("odiff")
         }

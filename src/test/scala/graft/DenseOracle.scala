@@ -7,15 +7,21 @@ package graft
   */
 object DenseOracle {
 
-  /** @param edges raw (src, dst, weight-multiplicity); duplicates summed. */
+  /** @param edges raw (src, dst, weight-multiplicity); duplicates summed.
+    * @param v personalization vector (default uniform 1/n); x₀ = v and the
+    *          ω dangling+teleport mass is redistributed along v, exactly as
+    *          the reference threads Vec v (ppagerank.cc:91-104, 311-315).
+    */
   def pagerank(n: Int, edges: Seq[(Int, Int, Double)], alpha: Double,
-      tol: Double = 1e-12, maxIter: Int = 10000): (Array[Double], Int) = {
+      tol: Double = 1e-12, maxIter: Int = 10000,
+      v: Option[Array[Double]] = None): (Array[Double], Int) = {
     val agg = scala.collection.mutable.Map[(Int, Int), Double]()
     edges.foreach { case (s, d, w) => agg((s, d)) = agg.getOrElse((s, d), 0.0) + w }
     val outsum = new Array[Double](n)
     agg.foreach { case ((s, _), w) => outsum(s) += w }
+    val vv = v.getOrElse(Array.fill(n)(1.0 / n))
 
-    var x = Array.fill(n)(1.0 / n)
+    var x = vv.clone()
     var iter = 0
     var delta = Double.MaxValue
     while (iter < maxIter && delta >= tol) {
@@ -27,7 +33,7 @@ object DenseOracle {
       var i = 0
       delta = 0.0
       while (i < n) {
-        y(i) += omega / n
+        y(i) += omega * vv(i)
         delta += math.abs(y(i) - x(i))
         i += 1
       }

@@ -49,6 +49,46 @@ class SolversSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("inout + arnoldi honor a personalization vector (fixed point vs dense oracle)") {
+    import spark.implicits._
+    val (n, edges) = GraphFixtures.g2
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    // mass concentrated on vertices 0 and 1
+    val vArr = Array.tabulate(n)(i => if (i == 0) 0.7 else if (i == 1) 0.3 else 0.0)
+    val vDf = vArr.zipWithIndex.collect { case (w, i) if w > 0 => (i.toLong, w) }
+      .toSeq.toDF("id", "v")
+    val (expected, _) = DenseOracle.pagerank(n, edges, 0.85, tol = 1e-13, v = Some(vArr))
+    val (ri, si) = InOutPageRank.run(g,
+      InOutPageRank.InOutConfig(alpha = 0.85, tol = 1e-9, maxIter = 300),
+      personalization = Some(vDf))
+    assert(si.reason.converged)
+    val gi = ri.collect().map(r => r.id -> r.rank).toMap
+    (0 until n).foreach(i => assert(math.abs(gi(i.toLong) - expected(i)) < 1e-6,
+      s"inout vertex $i: got ${gi(i.toLong)}, expected ${expected(i)}"))
+    val (ra, sa) = ArnoldiPageRank.run(g,
+      ArnoldiPageRank.ArnoldiConfig(alpha = 0.85, tol = 1e-9, k = 6, maxRestarts = 60),
+      personalization = Some(vDf))
+    assert(sa.reason.converged)
+    val ga = ra.collect().map(r => r.id -> r.rank).toMap
+    (0 until n).foreach(i => assert(math.abs(ga(i.toLong) - expected(i)) < 1e-6,
+      s"arnoldi vertex $i: got ${ga(i.toLong)}, expected ${expected(i)}"))
+  }
+
+  test("solvers do not leak cached blocks across iterations/restarts") {
+    val (n, edges) = GraphFixtures.g2
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    // warm up (graph prep persists a fixed set of frames)
+    InOutPageRank.run(g, InOutPageRank.InOutConfig(alpha = 0.85, tol = 1e-6, maxIter = 50))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    InOutPageRank.run(g, InOutPageRank.InOutConfig(alpha = 0.85, tol = 1e-10, maxIter = 200))
+    ArnoldiPageRank.run(g, ArnoldiPageRank.ArnoldiConfig(alpha = 0.85, tol = 1e-10,
+      k = 6, maxRestarts = 40))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // rolling truncation retires every intermediate; only O(1) live handles
+    // (final iterates) may remain per solver run
+    assert(after - before <= 4, s"cached blocks grew $before -> $after")
+  }
+
   test("SmallSvd matches known singular values and A·v = σ·u") {
     // A = [[3,0],[0,2],[0,0]] → σ = (3, 2)
     val a = Array(Array(3.0, 0.0), Array(0.0, 2.0), Array(0.0, 0.0))

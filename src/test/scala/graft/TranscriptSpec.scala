@@ -78,6 +78,36 @@ class TranscriptSpec extends AnyFunSuite with SparkTestBase {
     assert(dang == Set(1L))
   }
 
+  test("-trans: transposed graph is the reversed edge set, column-normalized") {
+    import spark.implicits._
+    def t(c: String, i: Int, tool: String): Turn =
+      Turn(c, i, "user", s"$c-$i", tool, new Timestamp(1704067200000L + i * 1000))
+    val turns = Seq(
+      t("a", 0, "reply:b"), t("a", 1, "invoke:c"), t("a", 2, "invoke:b"),
+      t("b", 0, null), t("c", 0, "invoke:a")).toDS()
+    val fwd = GraphOps.fromTranscripts(turns)
+    val rev = GraphOps.fromTranscripts(turns, transpose = true)
+    // raw edges of the transposed graph = swapped raw edges of the forward one
+    val f = fwd.rawEdges.collect().map(e => (e.dst, e.src, e.weight)).toSet
+    val r = rev.rawEdges.collect().map(e => (e.src, e.dst, e.weight)).toSet
+    assert(f == r)
+    // and normalization ran on the TRANSPOSED rows (original column sums):
+    // every src of the reversed graph has out-weight 1
+    val outsums = rev.edges.groupBy(col("src")).agg(sum(col("weight")).as("s"))
+      .collect().map(_.getDouble(1))
+    outsums.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+    // PageRank over the reversed graph matches the dense oracle on swapped edges
+    val idOf = rev.dict.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val revEdges = fwd.rawEdges.collect()
+      .map(e => (e.dst.toInt, e.src.toInt, e.weight)).toSeq
+    val (expected, _) = DenseOracle.pagerank(idOf.size, revEdges, 0.85, tol = 1e-13)
+    val (ranks, _) = graft.graph.PageRank.run(rev,
+      graft.model.PageRankConfig(alpha = 0.85, tol = 1e-10))
+    val got = ranks.collect().map(x => x.id -> x.rank).toMap
+    expected.zipWithIndex.foreach { case (e, i) =>
+      assert(math.abs(got(i.toLong) - e) < 1e-8, s"vertex $i") }
+  }
+
   test("hash id dictionary matches dense dictionary modulo renaming") {
     val ds = generate(spark, 100)
     val g1 = GraphOps.fromTranscripts(ds, denseIds = true)
