@@ -56,8 +56,53 @@ r$k AS (SELECT v.id,
     sb.toString
   }
 
+  /** The prelude with every CTE materialized — REQUIRED for deep iteration
+    * chains: DuckDB inlines single-referenced CTEs, so an unrolled chain
+    * where y_k references r_{k-1} twice re-derives the whole graph 2^k
+    * times (file-handle exhaustion ~20 iterations, optimizer blowup later).
+    */
+  val graphPreludeMat: String = {
+    val names = Seq("t", "lnk", "edges", "verts", "norm", "nv")
+    names.foldLeft(graphPrelude) { (s, n) =>
+      s.replace(s"$n AS (", s"$n AS MATERIALIZED (")
+    }
+  }
+
+  /** Unrolled power iterations with materialized per-iteration CTEs. */
+  def pagerankCtesMat(iters: Int, alpha: Double): String = {
+    val sb = new StringBuilder
+    sb.append(",\nr0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts)")
+    for (k <- 1 to iters) {
+      sb.append(s""",
+y$k AS MATERIALIZED (SELECT e.dst AS id, SUM(e.weight * r.rank) AS y
+        FROM norm e JOIN r${k - 1} r ON e.src = r.id GROUP BY e.dst),
+r$k AS MATERIALIZED (SELECT v.id,
+               $alpha * COALESCE(y.y, 0) + (1 - $alpha * (SELECT COALESCE(SUM(y), 0) FROM y$k)) / (SELECT n FROM nv) AS rank
+        FROM verts v LEFT JOIN y$k y ON v.id = y.id)""")
+    }
+    sb.toString
+  }
+
+  /** Converged power fixed point (iters deep enough that the iterate is at
+    * the float fixed point — 0.85^160 ≈ 5e-12, and measured r160 == r162 to
+    * 12 dp on sf0.01), rounded to dp decimals. Oracle for the inout and
+    * arnoldi solvers, which converge to the same fixed point.
+    */
+  def pagerankDeep(iters: Int, alpha: Double, dp: Int): String =
+    s"$graphPreludeMat${pagerankCtesMat(iters, alpha)}\n" +
+      s"SELECT id, ROUND(rank, $dp) AS rank FROM r$iters"
+
   val scanTranscripts: String =
     s"$graphPrelude SELECT conv_id, turn_idx, role, text, tool, ts FROM t"
+
+  /** Transposed normalization (-trans): reversed edges, weights divided by
+    * the ORIGINAL column sums (the window partitions by pre-alias dst).
+    */
+  val normalizeTrans: String =
+    s"""$graphPrelude
+SELECT src, dst, ROUND(weight, 8) AS weight FROM (
+  SELECT dst AS src, src AS dst, mult / SUM(mult) OVER (PARTITION BY dst) AS weight
+  FROM edges) z"""
 
   val normalize: String =
     s"$graphPrelude SELECT src, dst, ROUND(weight, 8) AS weight FROM norm"
@@ -74,7 +119,11 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS n_vertices,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM verts v
          WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = v.id)) AS n_dangling,
        (SELECT ROUND(MAX(s), 8) FROM (SELECT SUM(weight) AS s FROM norm GROUP BY dst) z) AS norm_1,
-       (SELECT ROUND(MAX(s), 8) FROM (SELECT SUM(weight) AS s FROM norm GROUP BY src) z) AS norm_inf"""
+       (SELECT ROUND(MAX(s), 8) FROM (SELECT SUM(weight) AS s FROM norm GROUP BY src) z) AS norm_inf,
+       (SELECT CAST(MIN(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM norm GROUP BY src) z) AS min_outdeg,
+       (SELECT CAST(MAX(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM norm GROUP BY src) z) AS max_outdeg,
+       (SELECT CAST(MIN(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM norm GROUP BY dst) z) AS min_indeg,
+       (SELECT CAST(MAX(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM norm GROUP BY dst) z) AS max_indeg"""
 
   val dangling: String =
     s"""$graphPrelude
@@ -207,6 +256,52 @@ SELECT doc_id AS id,
        MIN(doc_id) OVER (PARTITION BY regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS keep_id,
        CAST(COUNT(*) OVER (PARTITION BY regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS BIGINT) AS group_size
 FROM documents"""
+
+  /** Exact twin of TextAnalysis.langId: per-language marker-token counts,
+    * argmax with lexicographically-LARGEST-language tiebreak (Spark's
+    * greatest(struct(score, lang)) compares lang on score ties), 'und' when
+    * every score is 0.
+    */
+  val langId: String = """
+SELECT doc_id,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END AS lang_guess,
+       lang
+FROM (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','for','with'))) AS s_en,
+         len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
+         len(list_filter(toks, x -> x IN ('le','la','les','et','est','que','pour','dans'))) AS s_fr,
+         len(list_filter(toks, x -> x IN ('el','la','los','que','es','por','con','para'))) AS s_es
+  FROM (SELECT doc_id, lang, string_split_regex(LOWER(text), '\s+') AS toks FROM documents) z) zz"""
+
+  /** Exact twin of Dedup.ngramJaccardPairs: distinct word n-gram sets,
+    * df-capped inverted-index candidates, full-set Jaccard ≥ threshold.
+    * (The engine joins on xxhash64(gram); identical output barring a 64-bit
+    * collision within the corpus.)
+    */
+  def ngramJaccard(n: Int, threshold: Double, maxDf: Int, dp: Int): String = s"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(len(toks) - ${n - 1}),
+           i -> array_to_string(list_slice(toks, i + 1, i + $n), ' '))) AS grams
+  FROM (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\\s+') AS toks FROM documents) z
+  WHERE len(toks) >= $n),
+inv AS MATERIALIZED (SELECT id, unnest(grams) AS g FROM d),
+rare AS MATERIALIZED (SELECT g FROM inv GROUP BY g HAVING COUNT(*) <= $maxDf),
+capped AS MATERIALIZED (SELECT i.id, i.g FROM inv i JOIN rare r ON i.g = r.g),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM capped l JOIN capped r ON l.g = r.g AND l.id < r.id),
+scored AS (
+  SELECT c.a, c.b,
+         CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE) /
+           len(list_distinct(list_concat(da.grams, db.grams))) AS j
+  FROM cand c JOIN d da ON da.id = c.a JOIN d db ON db.id = c.b)
+SELECT a, b, ROUND(j, $dp) AS jaccard FROM scored WHERE j >= $threshold"""
 
   val knn: String = """
 SELECT qid, id, cos, rk FROM (

@@ -54,16 +54,26 @@ object SparkEntry {
     "k2_stats" -> ((s, dir) => {
       val g = TestdataGraph.linkGraph(s, dir)
       val nDang = GraphOps.danglingVertices(g).count()
-      val norm1 = g.edges.groupBy(col("dst")).agg(sum(col("weight")).as("s"))
-        .agg(max(col("s"))).head().getDouble(0)
-      val normInf = g.edges.groupBy(col("src")).agg(sum(col("weight")).as("s"))
-        .agg(max(col("s"))).head().getDouble(0)
+      val rowAgg = g.edges.groupBy(col("src"))
+        .agg(sum(col("weight")).as("s"), count(lit(1)).as("d"))
+        .agg(max(col("s")), min(col("d")), max(col("d"))).head()
+      val colAgg = g.edges.groupBy(col("dst"))
+        .agg(sum(col("weight")).as("s"), count(lit(1)).as("d"))
+        .agg(max(col("s")), min(col("d")), max(col("d"))).head()
       import s.implicits._
       Seq((g.numVertices, g.numEdges, nDang,
-        BigDecimal(norm1).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(normInf).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        .toDF("n_vertices", "n_edges", "n_dangling", "norm_1", "norm_inf")
+        BigDecimal(colAgg.getDouble(0)).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(rowAgg.getDouble(0)).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        rowAgg.getLong(1), rowAgg.getLong(2), colAgg.getLong(1), colAgg.getLong(2)))
+        .toDF("n_vertices", "n_edges", "n_dangling", "norm_1", "norm_inf",
+          "min_outdeg", "max_outdeg", "min_indeg", "max_indeg")
     }),
+
+    // C1-transposed (-trans): normalization over the reversed edge list ≙
+    // the reference's colsum + right diagonal scale (ppagerank.cc:183-209)
+    "c1t_normalize_trans" -> ((s, dir) =>
+      TestdataGraph.linkGraphTrans(s, dir).edges.toDF()
+        .select(col("src"), col("dst"), round(col("weight"), 8).as("weight"))),
 
     "c6_dangling" -> ((s, dir) =>
       GraphOps.danglingVertices(TestdataGraph.linkGraph(s, dir))),
@@ -82,18 +92,20 @@ object SparkEntry {
       top.withColumn("rk", row_number().over(w).cast("long"))
     }),
 
-    // rows-only (converged fixed points vs power are asserted in SolversSpec;
-    // a fixed-iteration SQL twin is not meaningful for these solvers)
+    // value-exact: both solvers drive the residual to ~1e-13 (CGS2 arnoldi,
+    // inner-outer then power), where the iterate agrees with the DuckDB
+    // 160-iteration power fixed point (itself converged past 1e-12) to
+    // ~1e-12 — 6 decimal places compare exactly with ~1e-4 flip risk
     "a3_inout" -> ((s, dir) => {
       val g = TestdataGraph.linkGraph(s, dir)
-      InOutPageRank.run(g, InOutPageRank.InOutConfig(tol = 1e-4, maxIter = 10))._1
+      InOutPageRank.run(g, InOutPageRank.InOutConfig(tol = 1e-13, maxIter = 300))._1
         .toDF().select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
     "a4_arnoldi" -> ((s, dir) => {
       val g = TestdataGraph.linkGraph(s, dir)
-      ArnoldiPageRank.run(g, ArnoldiPageRank.ArnoldiConfig(tol = 1e-6, k = 4,
-        maxRestarts = 3))._1
+      ArnoldiPageRank.run(g, ArnoldiPageRank.ArnoldiConfig(tol = 1e-12, k = 8,
+        maxRestarts = 30))._1
         .toDF().select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
@@ -189,7 +201,7 @@ object SparkEntry {
     "t3_dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
 
-    "t4_langid" -> ((s, dir) => // rows-only: heuristic has no SQL twin
+    "t4_langid" -> ((s, dir) => // value-exact: DuckDB list_filter twin
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"),
           col("lang"))),
@@ -258,10 +270,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "s1_scan_transcripts" -> OracleSql.scanTranscripts,
     "c1_normalize" -> OracleSql.normalize,
+    "c1t_normalize_trans" -> OracleSql.normalizeTrans,
     "c2_spmv" -> OracleSql.spmv,
     "k2_stats" -> OracleSql.stats,
     "c6_dangling" -> OracleSql.dangling,
     "a2_pagerank5" -> OracleSql.pagerank(5, 0.85),
+    "a3_inout" -> OracleSql.pagerankDeep(160, 0.85, 6),
+    "a4_arnoldi" -> OracleSql.pagerankDeep(160, 0.85, 6),
+    "t4_langid" -> OracleSql.langId,
+    "d3_ngram_jaccard" -> OracleSql.ngramJaccard(3, 0.5, 1000, 6),
     "k3_toprank" -> OracleSql.topRank(5, 0.85, 10),
     "cc_components" -> OracleSql.connectedComponents,
     "lp_labelprop3" -> OracleSql.labelProp(3),

@@ -62,12 +62,20 @@ object TestdataGraph {
     * with events ∪ link targets (ids are already numeric — no dictionary).
     */
   def linkGraph(spark: SparkSession, dir: String): LinkGraph =
-    cache.getOrElseUpdate((spark, dir), buildLinkGraph(spark, dir))
+    cache.getOrElseUpdate((spark, dir), buildLinkGraph(spark, dir, transpose = false))
 
-  private def buildLinkGraph(spark: SparkSession, dir: String): LinkGraph = {
-    val raw = rawEdges(spark, dir)
+  /** Transposed (-trans) variant: reversed edges, column-sum normalization. */
+  def linkGraphTrans(spark: SparkSession, dir: String): LinkGraph =
+    cache.getOrElseUpdate((spark, dir + "#trans"),
+      buildLinkGraph(spark, dir, transpose = true))
+
+  private def buildLinkGraph(spark: SparkSession, dir: String,
+      transpose: Boolean): LinkGraph = {
+    val fwd = rawEdges(spark, dir)
+    val raw = if (!transpose) fwd
+      else fwd.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
     val verts = events(spark, dir).select(col("user_id").as("id")).distinct()
-      .union(raw.select(col("dst").as("id")))
+      .union(fwd.select(col("dst").as("id")))
       .distinct()
     val dict = verts.select(concat(lit("u"), col("id").cast("string")).as("conv_id"), col("id"))
     GraphOps.normalizeFrom(raw, verts, dict)
