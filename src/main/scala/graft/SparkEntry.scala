@@ -258,6 +258,29 @@ object SparkEntry {
       Similarity.cosineNearDup(emb, threshold = 0.4, nBands = 8, planesPerBand = 6)
     }),
 
+    // ---- incremental maintenance (streaming extension) ----
+    // ~20% of the derived edge pairs arrive "late" as a delta folded into a
+    // durable bucketed store via EdgeStore.mergeDelta (bucket-pruned,
+    // src-level renormalization). The merged store must equal the batch
+    // build VALUE-EXACTLY — the oracle is the full-graph normalization SQL.
+    "i1_incremental_merge" -> ((s, dir) => {
+      val raw = TestdataGraph.rawEdges(s, dir).persist()
+      val late = pmod(col("src") + col("dst"), lit(5)) === 0
+      val base = raw.where(!late)
+      val delta = raw.where(late)
+      val verts = base.select(col("src").as("id"))
+        .union(base.select(col("dst").as("id"))).distinct()
+      val dict = verts.select(
+        concat(lit("u"), col("id").cast("string")).as("conv_id"), col("id"))
+      val gBase = GraphOps.normalizeFrom(base, verts, dict)
+      val store = java.nio.file.Files.createTempDirectory("graft_i1").toString
+      ingest.EdgeStore.write(gBase, store, buckets = 16)
+      ingest.EdgeStore.mergeDelta(s, store, delta)
+      raw.unpersist()
+      s.read.parquet(s"$store/edges")
+        .select(col("src"), col("dst"), round(col("weight"), 8).as("weight"))
+    }),
+
     // ---- multimodal plumbing (rows-only: stubbed decode, real batching) ----
     "mm1_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 200)
@@ -291,6 +314,8 @@ object SparkEntry {
     "t1_tokens" -> OracleSql.tokens,
     "t2_quality" -> OracleSql.quality,
     "t3_dedup_exact" -> OracleSql.dedupExact,
-    "m1_knn_bruteforce" -> OracleSql.knn
+    "m1_knn_bruteforce" -> OracleSql.knn,
+    // the incremental merge must reproduce the batch normalization exactly
+    "i1_incremental_merge" -> OracleSql.normalize
   )
 }

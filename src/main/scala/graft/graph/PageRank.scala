@@ -106,7 +106,8 @@ object PageRank {
     */
   def run(g: LinkGraph, cfg: PageRankConfig = PageRankConfig(),
       runId: String = "pr", resume: Boolean = false,
-      personalization: Option[DataFrame] = None): (Dataset[VertexRank], PageRankStats) = {
+      personalization: Option[DataFrame] = None,
+      warmStart: Option[DataFrame] = None): (Dataset[VertexRank], PageRankStats) = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val n = g.numVertices
@@ -123,12 +124,29 @@ object PageRank {
     // personalization v (default uniform 1/n); carried as a column when given
     val vDf = personalization.map(_.select(col("id"), col("v").cast("double")))
 
-    def initialFrame(): DataFrame = vDf match {
-      case Some(v) => base.join(v, Seq("id"), "left")
-        .select(col("id"), col("dang"),
-          coalesce(col("v"), lit(0.0)).as("v"),
-          coalesce(col("v"), lit(0.0)).as("rank"))
-      case None => base.select(col("id"), col("dang"), lit(1.0 / n).as("rank"))
+    // Warm start (incremental re-rank after a graph delta): x₀ = previous
+    // ranks where known, teleport vector elsewhere. No explicit
+    // renormalization is needed — the ω fold uses the MEASURED eᵀx, so the
+    // first iteration maps any positive start vector back onto the
+    // eᵀx = 1 simplex exactly (αPᵀx sums to α(eᵀx − dᵀx) and
+    // ω = 1 − α(eᵀx − dᵀx) restores the total); the power method then
+    // contracts from wherever the warm vector sits.
+    def initialFrame(): DataFrame = {
+      val withV = vDf match {
+        case Some(v) => base.join(v, Seq("id"), "left")
+          .select(col("id"), col("dang"), coalesce(col("v"), lit(0.0)).as("v"))
+        case None => base
+      }
+      val fallback = if (vDf.isDefined) col("v") else lit(1.0 / n)
+      warmStart match {
+        case Some(w0) =>
+          val w = w0.select(col("id"), col("rank").cast("double").as("rank_ws"))
+          withV.join(w, Seq("id"), "left")
+            .select(withV.columns.map(col).toSeq :+
+              coalesce(col("rank_ws"), fallback).as("rank"): _*)
+        case None =>
+          withV.select(withV.columns.map(col).toSeq :+ fallback.as("rank"): _*)
+      }
     }
 
     var startIter = 0

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PageRank
+import graft.ingest.EdgeStore
+import graft.model.{PageRankConfig, PageRankStats}
+
+/** Incremental rank maintenance — the streaming extension the reference's
+  * batch script mode (ppagerank_main.cc:408-467) points toward but never
+  * built: keep a durable, bucketed edge store fresh under edge arrivals and
+  * re-rank by WARM-STARTING the power method from the previous fixed point.
+  *
+  * Why warm start is the right scale play: after a small graph delta the
+  * previous rank vector is within ε of the new fixed point, and the power
+  * method contracts the L1 error by α per iteration from ANY start vector —
+  * so iterations-to-tol drop from log(1/tol)/log(1/α) to
+  * log(ε/tol)/log(1/α). A 1%-perturbation re-rank typically needs a third
+  * of the cold iterations (asserted in IncrementalSpec), and each avoided
+  * iteration is a full O(E) SpMV at 100 TB.
+  */
+object IncrementalRank {
+
+  final case class UpdateResult(
+      ranks: DataFrame, stats: PageRankStats, merge: EdgeStore.MergeStats)
+
+  /** Fold a raw-edge delta into the store at `storePath`, then re-rank
+    * warm-started from `prevRanks` (cold uniform start when None).
+    */
+  def updateAndRank(spark: SparkSession, storePath: String,
+      deltaRaw: DataFrame, prevRanks: Option[DataFrame],
+      cfg: PageRankConfig = PageRankConfig(),
+      deltaDict: Option[DataFrame] = None): UpdateResult = {
+    val merge = EdgeStore.mergeDelta(spark, storePath, deltaRaw, deltaDict)
+    val g = EdgeStore.read(spark, storePath)
+    val (ranks, stats) = PageRank.run(g, cfg, warmStart = prevRanks)
+    // ranks is lineage-truncated inside run, so the read-side caches can go
+    // (repeated maintain() calls must not accumulate cached graphs)
+    g.edges.unpersist(); g.vertices.unpersist()
+    UpdateResult(ranks.toDF(), stats, merge)
+  }
+
+  /** foreachBatch sink for a stream of derived link events
+    * (StreamingEdges.deriveLinks output mapped to ids): each micro-batch is
+    * merged into the store and ranks under `ranksPath` are refreshed
+    * warm-started from the previous batch's result.
+    *
+    * readStream → deriveLinks → foreachBatch(maintain(...)) is the full
+    * streaming rank-maintenance pipeline.
+    */
+  def maintain(spark: SparkSession, storePath: String, ranksPath: String,
+      cfg: PageRankConfig = PageRankConfig())(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val prev =
+        try Some(spark.read.parquet(ranksPath))
+        catch { case _: Exception => None } // first batch: cold start
+      val res = updateAndRank(spark, storePath,
+        batch.select(col("src"), col("dst"), lit(1.0).as("weight")),
+        prev, cfg)
+      res.ranks.write.mode("overwrite").parquet(ranksPath)
+    }
+  }
+}

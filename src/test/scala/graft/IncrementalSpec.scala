@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{GraphOps, PageRank}
+import graft.ingest.EdgeStore
+import graft.model.PageRankConfig
+import graft.streaming.IncrementalRank
+
+/** Incremental maintenance: EdgeStore.mergeDelta + warm-started re-rank.
+  * The invariant under test everywhere: the incremental path must be
+  * indistinguishable from a full batch rebuild.
+  */
+class IncrementalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic synthetic raw edge list (multiplicity weights). */
+  private def rawEdges(n: Int): DataFrame =
+    (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i * 7 + 3) % n).toLong, 1.0),
+          (i.toLong, ((i * 13 + 5) % n).toLong, 1.0),
+          (i.toLong, ((i * 3 + 1) % n).toLong, if (i % 4 == 0) 2.0 else 1.0))
+        .filter { case (s, d, _) => s != d }
+    }.toDF("src", "dst", "w")
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("weight"))
+
+  private def buildGraph(raw: DataFrame) = {
+    val verts = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id"))).distinct()
+    val dict = verts.select(concat(lit("v"), col("id")).as("conv_id"), col("id"))
+    GraphOps.normalizeFrom(raw, verts, dict)
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def edgeMap(df: DataFrame): Map[(Long, Long), Double] =
+    df.select(col("src"), col("dst"), col("weight")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("mergeDelta equals full batch rebuild (normalized + raw)") {
+    val all = rawEdges(200).persist()
+    val late = pmod(col("src") + col("dst"), lit(5)) === 0
+    val base = all.where(!late)
+    val delta = all.where(late)
+
+    val store = tmp("inc_merge")
+    EdgeStore.write(buildGraph(base), store, buckets = 8)
+    val stats = EdgeStore.mergeDelta(spark, store, delta)
+    assert(stats.totalBuckets == 8)
+    assert(stats.touchedSrcs == delta.select("src").distinct().count())
+
+    val full = buildGraph(all)
+    // multiplicities are integer-valued doubles → normalization is exact
+    assert(edgeMap(spark.read.parquet(s"$store/edges")) ==
+      edgeMap(full.edges.toDF()))
+    assert(edgeMap(spark.read.parquet(s"$store/raw_edges")) ==
+      edgeMap(full.rawEdges.toDF()))
+    // vertex domain caught up too
+    assert(spark.read.parquet(s"$store/vertices").as[Long].collect().toSet ==
+      full.vertices.as[Long].collect().toSet)
+    all.unpersist()
+  }
+
+  test("mergeDelta rewrites ONLY affected bucket directories") {
+    val all = rawEdges(120).persist()
+    val base = all.where(col("src") =!= 7L)
+    val delta = all.where(col("src") === 7L) // single touched src
+
+    val store = tmp("inc_buckets")
+    EdgeStore.write(buildGraph(base), store, buckets = 8)
+
+    def fileState(sub: String): Map[String, (Long, Long)] = {
+      val root = Paths.get(s"$store/$sub")
+      val it = Files.walk(root).iterator()
+      val m = scala.collection.mutable.Map[String, (Long, Long)]()
+      while (it.hasNext) {
+        val p: Path = it.next()
+        if (Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          m += root.relativize(p).toString ->
+            ((Files.size(p), Files.getLastModifiedTime(p).toMillis))
+      }
+      m.toMap
+    }
+    val before = fileState("edges")
+    val stats = EdgeStore.mergeDelta(spark, store, delta)
+    assert(stats.affectedBuckets == 1)
+    val after = fileState("edges")
+
+    val affected = delta.select(
+      pmod(xxhash64(col("src")), lit(8)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSet
+    val untouchedBefore = before.filter { case (f, _) =>
+      !affected.exists(b => f.startsWith(s"bucket=$b/")) }
+    val untouchedAfter = after.filter { case (f, _) =>
+      !affected.exists(b => f.startsWith(s"bucket=$b/")) }
+    assert(untouchedBefore == untouchedAfter,
+      "files outside affected buckets must not be rewritten")
+    assert(before != after, "affected bucket must change")
+    all.unpersist()
+  }
+
+  test("negative multiplicity removes edges and renormalizes the src group") {
+    val base = Seq((0L, 1L, 2.0), (0L, 2L, 1.0), (1L, 2L, 1.0))
+      .toDF("src", "dst", "weight")
+    val store = tmp("inc_del")
+    EdgeStore.write(buildGraph(base), store, buckets = 4)
+    // remove one multiplicity of 0→1 and ALL of 0→2
+    val delta = Seq((0L, 1L, -1.0), (0L, 2L, -1.0)).toDF("src", "dst", "weight")
+    EdgeStore.mergeDelta(spark, store, delta)
+    val raw = edgeMap(spark.read.parquet(s"$store/raw_edges"))
+    assert(raw == Map((0L, 1L) -> 1.0, (1L, 2L) -> 1.0))
+    val norm = edgeMap(spark.read.parquet(s"$store/edges"))
+    assert(norm == Map((0L, 1L) -> 1.0, (1L, 2L) -> 1.0)) // re-stochastic
+  }
+
+  test("deleting ALL edges of a src clears its bucket (no stale files)") {
+    val base = Seq((0L, 1L, 2.0), (0L, 2L, 1.0), (1L, 2L, 1.0))
+      .toDF("src", "dst", "weight")
+    val store = tmp("inc_empty")
+    EdgeStore.write(buildGraph(base), store, buckets = 4)
+    val delta = Seq((0L, 1L, -2.0), (0L, 2L, -1.0)).toDF("src", "dst", "weight")
+    EdgeStore.mergeDelta(spark, store, delta)
+    assert(edgeMap(spark.read.parquet(s"$store/raw_edges")) ==
+      Map((1L, 2L) -> 1.0))
+    assert(edgeMap(spark.read.parquet(s"$store/edges")) ==
+      Map((1L, 2L) -> 1.0))
+  }
+
+  test("new vertices (and dict rows) appended for ids first seen in delta") {
+    val base = Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight")
+    val store = tmp("inc_verts")
+    EdgeStore.write(buildGraph(base), store, buckets = 4)
+    val delta = Seq((1L, 5L, 1.0), (6L, 0L, 1.0)).toDF("src", "dst", "weight")
+    val dict = Seq(("v5", 5L), ("v6", 6L), ("v0", 0L)).toDF("conv_id", "id")
+    val stats = EdgeStore.mergeDelta(spark, store, delta, Some(dict))
+    assert(stats.newVertices == 2)
+    assert(spark.read.parquet(s"$store/vertices").as[Long].collect().toSet ==
+      Set(0L, 1L, 5L, 6L))
+    val d = spark.read.parquet(s"$store/dict")
+      .as[(String, Long)].collect().toSet
+    assert(d.contains(("v5", 5L)) && d.contains(("v6", 6L)))
+    assert(d.count(_._2 == 0L) == 1, "existing dict ids must not duplicate")
+  }
+
+  /** Skewed fixture for the warm-start tests: varying out-degree + hub
+    * attraction, so the stationary distribution is FAR from uniform. (The
+    * near-regular `rawEdges` fixture has a near-uniform fixed point, where a
+    * cold uniform start is already converged and warm-starting from a
+    * different graph's ranks is genuinely counterproductive.)
+    */
+  private def skewedRaw(n: Int): DataFrame =
+    (0 until n).flatMap { i =>
+      val deg = 1 + (i % 7)
+      val outs = (0 until deg).map(k => ((i * (k + 11) * 13 + k * 7 + 5) % n).toLong) ++
+        (if (i % 2 == 0) Seq((i % 3).toLong) else Nil) // hubs 0,1,2
+      outs.filter(_ != i).map(d => (i.toLong, d, 1.0))
+    }.toDF("src", "dst", "w")
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("weight"))
+
+  test("warm-started re-rank reaches the new fixed point in fewer iterations") {
+    val all = skewedRaw(400).persist()
+    val late = pmod(col("src") * 31 + col("dst"), lit(29)) === 0 // ~3% delta
+    val base = all.where(!late)
+    val gBase = buildGraph(base)
+    val cfg = PageRankConfig(tol = 1e-10, maxIter = 500)
+    val (prevRanks, _) = PageRank.run(gBase, cfg)
+
+    val gFull = buildGraph(all)
+    val (coldRanks, coldStats) = PageRank.run(gFull, cfg)
+    val (warmRanks, warmStats) =
+      PageRank.run(gFull, cfg, warmStart = Some(prevRanks.toDF()))
+
+    val diff = coldRanks.toDF().withColumnRenamed("rank", "a")
+      .join(warmRanks.toDF().withColumnRenamed("rank", "b"), "id")
+      .agg(max(abs(col("a") - col("b")))).head().getDouble(0)
+    assert(diff < 1e-8, s"warm and cold fixed points differ by $diff")
+    assert(warmStats.iterations < coldStats.iterations,
+      s"warm ${warmStats.iterations} !< cold ${coldStats.iterations}")
+    all.unpersist()
+  }
+
+  test("updateAndRank end-to-end equals full recompute") {
+    val all = skewedRaw(150).persist()
+    val late = pmod(col("src") + col("dst") * 3, lit(7)) === 0
+    val base = all.where(!late)
+    val delta = all.where(late)
+    val gBase = buildGraph(base)
+    val store = tmp("inc_e2e")
+    EdgeStore.write(gBase, store, buckets = 8)
+    val cfg = PageRankConfig(tol = 1e-10, maxIter = 500)
+    val (prevRanks, _) = PageRank.run(gBase, cfg)
+
+    val res = IncrementalRank.updateAndRank(
+      spark, store, delta, Some(prevRanks.toDF()), cfg)
+    val (expect, _) = PageRank.run(buildGraph(all), cfg)
+
+    val diff = res.ranks.withColumnRenamed("rank", "a")
+      .join(expect.toDF().withColumnRenamed("rank", "b"), "id")
+      .agg(max(abs(col("a") - col("b")))).head().getDouble(0)
+    assert(diff < 1e-8, s"incremental ranks differ from batch by $diff")
+    assert(res.merge.touchedSrcs > 0)
+    all.unpersist()
+  }
+}
