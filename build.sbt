@@ -28,4 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+  // ParallelGC over G1 for the iterate-churn allocation pattern: each
+  // PageRank iteration retires the previous iterate's ~1M medium-lived
+  // UnsafeRow copies; G1's concurrent marking + write barriers turned that
+  // into 48% GC wall at local[32] (measured via PerfProbe task metrics:
+  // G1 822 task-GC-sec vs ParallelGC 236 over 12 iterations, best
+  // iteration 2.27s -> 0.66s). Throughput collector wins on a batch
+  // engine with no pause-time requirement.
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("GRAFT_JVM_EXTRA").map(_.split("\\s+").toSeq).getOrElse(Nil)

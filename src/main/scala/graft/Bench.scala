@@ -114,12 +114,24 @@ object Bench {
         .filter(_ >= 1)
 
     // --- scaling evidence: IDENTICAL fixed-work job at each level ---
+    // The sandbox VM has minutes-long CPU-steal weather fronts; running the
+    // level sequence `repeats` times INTERLEAVED (2,8,32,2,8,32,…) and
+    // taking each level's best decorrelates "which level" from "when the VM
+    // was noisy" — a single sequential sweep can hand one level all the
+    // steal and fabricate an arbitrary efficiency in either direction.
+    val repeats = sys.env.getOrElse("GRAFT_BENCH_SCALE_REPEATS", "2").toInt
+    val samples = (1 to repeats).flatMap { _ =>
+      levelThreads.map { t =>
+        val s = session(t)
+        val (scaleEdges, _, _, med, bst) =
+          pagerankRun(s, scaleConv, tol = 0.0, maxIter = probeIters)
+        s.stop()
+        (t, scaleEdges, med, bst)
+      }
+    }
     val levels = levelThreads.map { t =>
-      val s = session(t)
-      val (scaleEdges, _, _, med, bst) =
-        pagerankRun(s, scaleConv, tol = 0.0, maxIter = probeIters)
-      s.stop()
-      Level(t, scaleEdges, med, bst)
+      val mine = samples.filter(_._1 == t)
+      Level(t, mine.head._2, mine.map(_._3).min, mine.map(_._4).min)
     }
     val byT = levels.map(l => l.threads -> l).toMap
     val pairs = Seq(

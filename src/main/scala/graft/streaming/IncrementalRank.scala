@@ -56,9 +56,13 @@ object IncrementalRank {
       val prev =
         try Some(spark.read.parquet(ranksPath))
         catch { case _: Exception => None } // first batch: cold start
-      val res = updateAndRank(spark, storePath,
-        batch.select(col("src"), col("dst"), lit(1.0).as("weight")),
-        prev, cfg)
+      // one link event = multiplicity 1 unless the batch already carries
+      // explicit multiplicity weights
+      val delta =
+        if (batch.columns.contains("weight"))
+          batch.select(col("src"), col("dst"), col("weight"))
+        else batch.select(col("src"), col("dst"), lit(1.0).as("weight"))
+      val res = updateAndRank(spark, storePath, delta, prev, cfg)
       res.ranks.write.mode("overwrite").parquet(ranksPath)
     }
   }

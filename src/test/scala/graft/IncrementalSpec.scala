@@ -184,6 +184,49 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     all.unpersist()
   }
 
+  test("streaming foreachBatch maintain() keeps ranks at the batch fixed point") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = skewedRaw(120).persist()
+    // base store = ~2/3 of edges; the rest arrives as two stream batches
+    val part = pmod(col("src") * 13 + col("dst"), lit(3))
+    val base = all.where(part === 0 || part === 1)
+    val b1 = all.where(part === 2 && col("src") % 2 === 0)
+    val b2 = all.where(part === 2 && col("src") % 2 === 1)
+
+    val store = tmp("inc_stream")
+    val ranksPath = tmp("inc_stream_ranks") + "/ranks"
+    EdgeStore.write(buildGraph(base), store, buckets = 8)
+    val cfg = PageRankConfig(tol = 1e-10, maxIter = 500)
+
+    val stream = MemoryStream[(Long, Long, Double)]
+    val q = stream.toDS().toDF("src", "dst", "weight")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        IncrementalRank.maintain(spark, store, ranksPath, cfg)(b.toDF(), id)
+      }
+      .start()
+    def rows(df: DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    stream.addData(rows(b1)) // cold start (no ranks yet)
+    q.processAllAvailable()
+    stream.addData(rows(b2)) // warm start from batch-1 ranks
+    q.processAllAvailable()
+    q.stop()
+
+    val (expect, _) = PageRank.run(buildGraph(all), cfg)
+    val got = spark.read.parquet(ranksPath)
+    val diff = got.withColumnRenamed("rank", "a")
+      .join(expect.toDF().withColumnRenamed("rank", "b"), "id")
+      .agg(max(abs(col("a") - col("b")))).head().getDouble(0)
+    assert(diff < 1e-8, s"streamed ranks differ from batch by $diff")
+    assert(got.count() == expect.toDF().count())
+    all.unpersist()
+  }
+
   test("updateAndRank end-to-end equals full recompute") {
     val all = skewedRaw(150).persist()
     val late = pmod(col("src") + col("dst") * 3, lit(7)) === 0
