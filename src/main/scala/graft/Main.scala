@@ -43,6 +43,7 @@ object Options {
   *   runMain graft.Main -m <source> [-alpha a] [-tol t] [-maxiter n]
   *     [-alg power|inout|arnoldi] [-pvec parquet] [-out dir] [-noout]
   *     [-checkpoint dir] [-salt thresh] [-script] [-saveedges dir]
+  *     [-merge rawDeltaParquet] [-warmstart ranksParquet]
   *
   * `-m` accepts a transcripts parquet/directory path (schema = the
   * north-rule input_hint), `synth:<nConv>` for the deterministic
@@ -71,6 +72,19 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // -merge <rawDeltaParquet>: fold a raw-edge delta (src, dst,
+    // weight=multiplicity; negative deletes) into the `edges:` store BEFORE
+    // it is loaded — the incremental-maintenance user path.
+    opts.str("merge").filter(_.nonEmpty).foreach { deltaPath =>
+      require(mSource.startsWith("edges:"),
+        "-merge requires -m edges:<dir> (a durable EdgeStore)")
+      val stats = graft.ingest.EdgeStore.mergeDelta(spark,
+        mSource.stripPrefix("edges:"), spark.read.parquet(deltaPath))
+      println(s"merged delta: ${stats.touchedSrcs} srcs touched, " +
+        s"${stats.affectedBuckets}/${stats.totalBuckets} buckets rewritten, " +
+        s"${stats.newVertices} new vertices")
+    }
 
     // ---- load + derive + normalize ONCE (ppagerank_main.cc:131-136, 408) ----
     val g = if (mSource.startsWith("edges:"))
@@ -123,12 +137,19 @@ object Main {
       spark.read.parquet(path).select(col("id"), col("v"))
     }
     val ckpt = o.str("checkpoint").filter(_.nonEmpty)
+    // -warmstart <ranksParquet>: start the power iteration from a previous
+    // run's ranks (incremental re-rank after -merge). Power-only; rejected
+    // (not silently ignored) elsewhere.
+    val warm = o.str("warmstart").filter(_.nonEmpty).map { path =>
+      spark.read.parquet(path).select(col("id"), col("rank"))
+    }
+    require(warm.isEmpty || alg == "power", s"-warmstart is power-only (got -alg $alg)")
 
     val (ranks, stats) = alg match {
       case "power" =>
         PageRank.run(g, PageRankConfig(alpha = alpha, tol = tol, maxIter = maxiter,
           checkpointDir = ckpt, saltThreshold = salt),
-          resume = o.flag("resume"), personalization = pvec)
+          resume = o.flag("resume"), personalization = pvec, warmStart = warm)
       case "inout" =>
         InOutPageRank.run(g, InOutPageRank.InOutConfig(
           alpha = alpha,

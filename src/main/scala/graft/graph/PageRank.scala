@@ -20,12 +20,14 @@ import graft.model._
   *   y += ω·v
   *   δ  = ‖y − x‖₁; stop when δ < tol (ppagerank.cc:319-329)
   *
-  * Physical shape — designed so one iteration is ONE Spark job:
-  * the dangling indicator d is static, so ω = α·dᵀxₖ + (1−α)·eᵀxₖ with
-  * eᵀxₖ = 1 by construction; dᵀxₖ is aggregated as a side scalar of
-  * iteration k's single action (together with the residual), one iteration
-  * ahead of its use — the Spark analogue of the reference's
-  * one-SpMV + O(1)-allreduce step, with the allreduces batched into one.
+  * Physical shape — designed so one iteration is ONE Spark job with NO
+  * dedicated aggregation stage: the dangling indicator d is static, so
+  * ω = α·dᵀxₖ + (1−α)·eᵀxₖ with eᵀxₖ = 1 by construction; dᵀxₖ, eᵀxₖ and
+  * the residual are `observe`d (CollectMetrics accumulators) by the same
+  * tasks that materialize iteration k's iterate, one iteration ahead of
+  * their use — the Spark analogue of the reference's
+  * one-SpMV + O(1)-allreduce step, with the allreduces folded into the
+  * SpMV tasks themselves.
   * The per-iteration DAG stays flat (scan + join + agg) via an eager-on-use
   * localCheckpoint or an atomic parquet snapshot (resumable, north rule).
   *
@@ -194,15 +196,19 @@ object PageRank {
         .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
         .withColumn("rank",
           lit(cfg.alpha) * coalesce(col("yraw"), lit(0.0)) + lit(omega) * vCol)
-        .select(carry ++ Seq(col("rank"),
-          abs(col("rank") - col("rank_prev")).as("diff")): _*)
-      // lazy lineage truncation: the aggregate below materializes the data
-      // in one job; the previous iterate's blocks are unpersisted explicitly
-      val nextHandle = GraftSqlInternals.truncate(next)
+        // residual ‖xₖ₊₁−xₖ‖₁, next dᵀx and eᵀx are observed as accumulator
+        // side-effects of the SAME tasks that materialize the iterate below
+        // (no dedicated aggregation stage, no read-back of the fresh cache)
+        .observe("it",
+          sum(abs(col("rank") - col("rank_prev"))).as("delta"),
+          sum(col("dang") * col("rank")).as("dtx"),
+          sum(col("rank")).as("sx"))
+        .select(carry :+ col("rank"): _*)
+      // eager lineage truncation + metrics: ONE job per iteration; the
+      // previous iterate's blocks are unpersisted explicitly afterwards
+      val (nextHandle, observed) = GraftSqlInternals.truncateObserved(next)
 
-      // the iteration's single action: residual ‖xₖ₊₁−xₖ‖₁, next dᵀx, eᵀx
-      val row = nextHandle.df.agg(
-        sum(col("diff")), sum(col("dang") * col("rank")), sum(col("rank"))).head()
+      val row = observed("it")
       delta = row.getDouble(0)
       dtx = row.getDouble(1)
       sx = row.getDouble(2)
@@ -212,7 +218,7 @@ object PageRank {
 
       frameHandle.handle.unpersist(false)
       frameHandle = nextHandle
-      frame = nextHandle.df.drop("diff")
+      frame = nextHandle.df
 
       val converged = delta < cfg.tol
       if (converged || (cfg.checkpointDir.isDefined && iter % cfg.checkpointEvery == 0)) {

@@ -38,4 +38,29 @@ object GraftSqlInternals {
     val logical = LogicalRDD.fromDataset(rdd, cdf, isStreaming = false)
     Truncated(CDataset.ofRows(spark, logical), rdd)
   }
+
+  /** `truncate` + EAGER materialization in ONE job, returning the metrics of
+    * any `Dataset.observe` (CollectMetrics) nodes in the plan.
+    *
+    * This is the single-action iteration kernel: an iterative solver needs
+    * (a) the next iterate materialized + lineage-truncated and (b) a handful
+    * of global scalars about it (residual, dangling mass, sum). Running a
+    * separate `.agg().head()` pays one extra stage barrier plus a full
+    * read-back of the just-cached data per iteration; `observe` computes the
+    * same scalars in AggregatingAccumulators as a side-effect of the SAME
+    * tasks that write the cache, so the per-iteration job has no dedicated
+    * aggregation stage at all.
+    */
+  def truncateObserved(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): (Truncated, Map[String, Row]) = {
+    val cdf = df.asInstanceOf[CDataFrame]
+    val spark = cdf.sparkSession
+    val qe = cdf.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.persist(level)
+    rdd.localCheckpoint()
+    rdd.count() // the materializing action; observe accumulators fill here
+    val logical = LogicalRDD.fromDataset(rdd, cdf, isStreaming = false)
+    (Truncated(CDataset.ofRows(spark, logical), rdd), qe.observedMetrics)
+  }
 }
