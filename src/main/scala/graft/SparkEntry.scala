@@ -248,6 +248,15 @@ object SparkEntry {
         k = 5)
     }),
 
+    "m4_knn_ivf" -> ((s, dir) => { // rows-only: centroids are engine-trained
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.ivfTopK(
+        emb.select(col("vec_id").as("id"), col("embedding")),
+        emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
+        k = 5, nCells = 32, nProbe = 6)
+    }),
+
     "m3_neardup_cosine" -> ((s, dir) => { // rows-only
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("embedding"))

@@ -124,9 +124,12 @@ object ArnoldiPageRank {
         frame = mMult(frame, s"v$j", evs(j), dvs(j))
         val dotCols = (0 to j).map(i => sum(col(s"v$i") * col("w"))) ++
           Seq(sum(col("w") * col("w")))
-        val t1 = GraftSqlInternals.truncate(frame)
+        // batched VecMTDot rides as CollectMetrics accumulators on the
+        // materializing tasks (single-action kernel, as in PageRank.run)
+        val (t1, obs1) = GraftSqlInternals.truncateObserved(
+          frame.observe("dots", dotCols.head, dotCols.tail: _*))
         frame = t1.df
-        val row = frame.agg(dotCols.head, dotCols.tail: _*).head()
+        val row = obs1("dots")
         retire(t1)
         for (i <- 0 to j) h(i)(j) = row.getDouble(i)
         val ww = row.getDouble(j + 1)
@@ -139,9 +142,10 @@ object ArnoldiPageRank {
         frame = frame.withColumn("g", gCol).drop("w")
         val dotCols2 = (0 to j).map(i => sum(col(s"v$i") * col("g"))) ++
           Seq(sum(col("g") * col("g")), sum(col("g")), sum(col("dang") * col("g")))
-        val t2 = GraftSqlInternals.truncate(frame)
+        val (t2, obs2) = GraftSqlInternals.truncateObserved(
+          frame.observe("dots2", dotCols2.head, dotCols2.tail: _*))
         frame = t2.df
-        val row2 = frame.agg(dotCols2.head, dotCols2.tail: _*).head()
+        val row2 = obs2("dots2")
         retire(t2)
         val c = Array.tabulate(j + 1)(i => row2.getDouble(i))
         val gg = row2.getDouble(j + 1)
@@ -184,10 +188,12 @@ object ArnoldiPageRank {
         .select(carry :+ col("x"): _*)
       // convergence: δ = ‖Mx − x‖₁/‖x‖₁ (ppagerank.cc:649-657) + next sums
       xf = mMult(xf, "x", exNew, dxNew)
-      val tr2 = GraftSqlInternals.truncate(xf.select(carry ++ Seq(col("x"),
-        col("w"), abs(col("w") - col("x")).as("rdiff")): _*))
-      val row = tr2.df.agg(sum(col("rdiff")), sum(abs(col("x"))),
-        sum(col("dang") * col("x")), sum(col("x") * col("x")), sum(col("x"))).head()
+      val (tr2, obsR) = GraftSqlInternals.truncateObserved(
+        xf.select(carry ++ Seq(col("x"),
+          col("w"), abs(col("w") - col("x")).as("rdiff")): _*)
+          .observe("restart", sum(col("rdiff")), sum(abs(col("x"))),
+            sum(col("dang") * col("x")), sum(col("x") * col("x")), sum(col("x"))))
+      val row = obsR("restart")
       val num = row.getDouble(0)
       xNorm1 = row.getDouble(1)
       dx = row.getDouble(2)

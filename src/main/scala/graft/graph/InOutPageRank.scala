@@ -53,14 +53,16 @@ object InOutPageRank {
 
     // rolling lineage truncation: each checkpointed frame is unpersisted as
     // soon as its successor has materialized (the reference pattern from
-    // PageRank.run) — without this, every inner sweep leaks cached blocks
+    // PageRank.run) — without this, every inner sweep leaks cached blocks.
+    // The aggregates ride as CollectMetrics accumulators on the
+    // materializing tasks (same single-action kernel as PageRank.run).
     var prevHandle: Option[GraftSqlInternals.Truncated] = None
     def truncateAndAgg(df: DataFrame, aggCols: Seq[Column]): (DataFrame, Row) = {
-      val t = GraftSqlInternals.truncate(df)
-      val row = t.df.agg(aggCols.head, aggCols.tail: _*).head()
+      val (t, observed) = GraftSqlInternals.truncateObserved(
+        df.observe("agg", aggCols.head, aggCols.tail: _*))
       prevHandle.foreach(_.handle.unpersist(false))
       prevHandle = Some(t)
-      (t.df, row)
+      (t.df, observed("agg"))
     }
 
     /** y = Bx = Pᵀx + (dᵀx)·v with dᵀx = sx − eᵀPᵀx; frame in: (id, x[, carry…]),

@@ -77,15 +77,97 @@ object Similarity {
   }
 
   /** Approximate top-k: candidates share the LSH bucket key; ranked by exact
-    * cosine inside the bucket. Recall grows with fewer planes / multiprobe.
+    * cosine inside the bucket.
+    *
+    * Multiprobe: each query also probes every bucket at Hamming distance
+    * ≤ `multiprobe` (bit flips of its own key) — a vector just across one
+    * hyperplane from the query lands in such a neighbor bucket. The probe
+    * fan-out multiplies only the SMALL query side (1 + nPlanes keys at
+    * depth 1) before the equi-join, so the corpus is still touched
+    * linearly; this is the standard recall knob that avoids either more
+    * tables (memory) or fewer planes (bucket blowup).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+      nPlanes: Int = 8, multiprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+    require(multiprobe <= 1, "only Hamming-distance-0/1 probing implemented")
     val c = corpus.select(col("id"), col("embedding").as("ce"))
       .withColumn("key", lshKey(col("ce"), nPlanes))
-    val q = queries.select(col("qid"), col("embedding").as("qe"))
-      .withColumn("key", lshKey(col("qe"), nPlanes))
+    val q0 = queries.select(col("qid"), col("embedding").as("qe"))
+      .withColumn("key0", lshKey(col("qe"), nPlanes))
+    val probeKeys =
+      if (multiprobe == 0) array(col("key0"))
+      else array(col("key0") +:
+        (0 until nPlanes).map(p => col("key0").bitwiseXOR(lit(1L << p))): _*)
+    val q = q0.select(col("qid"), col("qe"), explode(probeKeys).as("key"))
     val joined = c.join(q, Seq("key"))
+      .where(if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      .select(col("qid"), col("id"), cosine(col("ce"), col("qe")).as("cos"))
+      .distinct() // a neighbor can surface through several probe buckets
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rk"))
+  }
+
+  /** Train an IVF coarse quantizer: k-means centroids from a DETERMINISTIC
+    * bounded sample (rows ordered by xxhash64(id), first `sampleN`) with
+    * `iters` Lloyd steps on the driver. The industrial IVF shape: training
+    * touches O(sampleN·nCells·dim) flops once on the driver; the full
+    * corpus is only ever scanned by the fused assignment expression.
+    * Returns the centroid matrix flattened row-major (nCells × dim).
+    */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int,
+      sampleN: Int = 4096, iters: Int = 5): (Array[Double], Int) = {
+    val sample = corpus.select(col("embedding").cast("array<double>"))
+      .withColumn("h", xxhash64(col("embedding")))
+      .orderBy(col("h")).limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivf: empty corpus")
+    val dim = sample.map(_.length).max
+    val pts = sample.map(v => if (v.length == dim) v else v.padTo(dim, 0.0))
+    val k = math.min(nCells, pts.length)
+    val cents = Array.tabulate(k)(i => pts(i * pts.length / k).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }; s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) { val dd = d2(p, cents(c)); if (dd < bd) { bd = dd; best = c }; c += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until dim)
+        cents(c)(i) = sums(c)(i) / counts(c) // empty cell keeps its centroid
+    }
+    // pad trained k up to nCells by repeating (degenerate tiny-corpus case)
+    val full = Array.tabulate(nCells)(c => cents(c % k))
+    (full.flatten, dim)
+  }
+
+  /** IVF approximate top-k — the coarse-quantizer scale path next to
+    * `lshTopK`: the corpus partitions into `nCells` inverted lists by
+    * nearest centroid (one fused-expression pass, never shuffled by more
+    * than the equi-join); each query probes its `nProbe` nearest cells and
+    * ranks candidates by exact cosine. Recall/latency dial: nProbe.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 64, nProbe: Int = 4, sampleN: Int = 4096,
+      excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.IvfFunctions.ivf_nearest_cells
+    val (cents, dim) = trainIvfCentroids(
+      corpus.select(col("embedding")), nCells, sampleN)
+    val c = corpus.select(col("id"), col("embedding").as("ce"))
+      .withColumn("cell",
+        element_at(ivf_nearest_cells(col("ce"), cents, dim, nCells, 1), 1))
+    val q = queries.select(col("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"),
+        explode(ivf_nearest_cells(col("qe"), cents, dim, nCells, nProbe)).as("cell"))
+    val joined = c.join(q, Seq("cell"))
       .where(if (excludeSelf) col("id") =!= col("qid") else lit(true))
       .select(col("qid"), col("id"), cosine(col("ce"), col("qe")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("id"))

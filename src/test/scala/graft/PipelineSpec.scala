@@ -241,6 +241,70 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"recall too low: ${(exact intersect approx).size}/${exact.size}")
   }
 
+  test("LSH multiprobe: Hamming-1 probing never loses recall and finds cross-plane neighbors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // near-boundary pairs: each base vector and a slight perturbation of it
+    // (likely across >= 1 hyperplane for some pairs)
+    val base = Seq.tabulate(30) { i =>
+      (i.toLong, Array.fill(12)(rnd.nextDouble() - 0.5))
+    }
+    val perturbed = base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.05 * (rnd.nextDouble() - 0.5)))
+    }
+    val vecs = (base ++ perturbed).toDF("id", "embedding")
+    val q = vecs.where(col("id") < 30).select(col("id").as("qid"), col("embedding"))
+    def recall(multiprobe: Int): Int = {
+      val approx = Similarity.lshTopK(vecs, q, k = 1, nPlanes = 8,
+        multiprobe = multiprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the planted nearest neighbor of qid i is i+100
+      (0 until 30).count(i => approx.contains((i.toLong, i + 100L)))
+    }
+    val r0 = recall(0); val r1 = recall(1)
+    assert(r1 >= r0, s"multiprobe lost recall: $r1 < $r0")
+    assert(r1 > r0, s"multiprobe found no additional cross-plane neighbor " +
+      s"($r0 -> $r1) — with 8 planes and 30 near-boundary pairs some must " +
+      "differ in exactly one sign bit")
+    assert(r1 >= 25, s"multiprobe recall $r1/30 too low")
+  }
+
+  test("IVF top-k: fused assignment matches driver Lloyd, high recall on clusters, deterministic") {
+    import spark.implicits._
+    // 4 well-separated clusters in 16 dims (same family as the LSH test)
+    val base = Seq.tabulate(80) { i =>
+      val cluster = i % 4
+      val v = Array.tabulate(16)(d =>
+        (if (d / 4 == cluster) 1.0 else 0.01) + 0.001 * ((i * 7 + d) % 5))
+      (i.toLong, v)
+    }
+    val vecs = base.toDF("id", "embedding")
+    val q = vecs.where(col("id") < 4).select(col("id").as("qid"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(vecs, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, q, k = 5, nCells = 8, nProbe = 2)
+    val approx = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact intersect approx).size >= exact.size * 4 / 5,
+      s"ivf recall too low: ${(exact intersect approx).size}/${exact.size}")
+    // deterministic end to end (hash-ordered sample, fixed seeds, no RNG)
+    val again = Similarity.ivfTopK(vecs, q, k = 5, nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == approx)
+    // the fused expression agrees with a driver-side argmin on raw centroids
+    val (cents, dim) = Similarity.trainIvfCentroids(
+      vecs.select(col("embedding")), nCells = 8)
+    import graft.functions.IvfFunctions.ivf_nearest_cells
+    val assigned = vecs.select(col("id"),
+      element_at(ivf_nearest_cells(col("embedding"), cents, dim, 8, 1), 1).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    base.foreach { case (id, v) =>
+      val best = (0 until 8).minBy { c =>
+        (0 until dim).map(i => { val t = v(i) - cents(c * dim + i); t * t }).sum
+      }
+      assert(assigned(id) == best, s"cell mismatch for $id")
+    }
+  }
+
   test("native cosine kernel: equals composed form, codegen, guards, SQL registration") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
