@@ -132,6 +132,32 @@ SELECT v.id FROM verts v WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = v
   def pagerank(iters: Int, alpha: Double): String =
     s"$graphPrelude${pagerankCtes(iters, alpha)}\nSELECT id, ROUND(rank, 8) AS rank FROM r$iters"
 
+  /** Personalized PageRank unrolled per seed (teleport vector = indicator of
+    * the seed vertex; x₀ = v, ω-fold identical to the uniform case but the
+    * teleport mass lands only on the seed row), UNION ALL over seeds —
+    * the oracle twin of PageRank.runMultiSeed.
+    */
+  def pprMultiSeed(iters: Int, alpha: Double, seeds: Seq[Long]): String = {
+    val ctes = seeds.zipWithIndex.map { case (seed, j) =>
+      val sb = new StringBuilder
+      sb.append(s""",
+r${j}_0 AS (SELECT id, CASE WHEN id = $seed THEN 1.0 ELSE 0.0 END AS rank FROM verts)""")
+      for (kk <- 1 to iters) {
+        sb.append(s""",
+y${j}_$kk AS (SELECT e.dst AS id, SUM(e.weight * r.rank) AS y
+        FROM norm e JOIN r${j}_${kk - 1} r ON e.src = r.id GROUP BY e.dst),
+r${j}_$kk AS (SELECT v.id,
+               $alpha * COALESCE(y.y, 0) + (1 - $alpha * (SELECT COALESCE(SUM(y), 0) FROM y${j}_$kk)) * (CASE WHEN v.id = $seed THEN 1.0 ELSE 0.0 END) AS rank
+        FROM verts v LEFT JOIN y${j}_$kk y ON v.id = y.id)""")
+      }
+      sb.toString
+    }.mkString
+    val sel = seeds.zipWithIndex.map { case (seed, j) =>
+      s"SELECT id, CAST($seed AS BIGINT) AS seed, ROUND(rank, 8) AS rank FROM r${j}_$iters"
+    }.mkString("\n", "\nUNION ALL\n", "")
+    s"$graphPrelude$ctes$sel"
+  }
+
   def topRank(iters: Int, alpha: Double, k: Int): String =
     s"""$graphPrelude${pagerankCtes(iters, alpha)}
 SELECT id, rank, rk FROM (

@@ -109,6 +109,16 @@ object SparkEntry {
         .toDF().select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    // batched multi-seed personalized PageRank: k teleport-indicator
+    // vectors solved in ONE join+job per iteration (value-exact vs the
+    // per-seed unrolled DuckDB twin)
+    "a5_ppr_multiseed" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      val (long, _) = PageRank.runMultiSeed(g, Seq(1L, 5L),
+        PageRankConfig(alpha = 0.85, tol = 0.0, maxIter = 5))
+      long.select(col("id"), col("seed"), round(col("rank"), 8).as("rank"))
+    }),
+
     "cc_components" -> ((s, dir) => {
       val g = TestdataGraph.linkGraph(s, dir)
       ConnectedComponents.run(g.edges, g.vertices)
@@ -307,6 +317,7 @@ object SparkEntry {
     "k2_stats" -> OracleSql.stats,
     "c6_dangling" -> OracleSql.dangling,
     "a2_pagerank5" -> OracleSql.pagerank(5, 0.85),
+    "a5_ppr_multiseed" -> OracleSql.pprMultiSeed(5, 0.85, Seq(1L, 5L)),
     "a3_inout" -> OracleSql.pagerankDeep(160, 0.85, 6),
     "a4_arnoldi" -> OracleSql.pagerankDeep(160, 0.85, 6),
     "t4_langid" -> OracleSql.langId,

@@ -144,4 +144,28 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) < 1e-9 && got(4L) < 1e-9)
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
+
+  test("multi-seed PPR equals per-seed personalized runs (one join per iteration)") {
+    import org.apache.spark.sql.functions._
+    val (n, edges) = GraphFixtures.g1
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val seeds = Seq(0L, 3L, 5L)
+    val cfg = PageRankConfig(alpha = 0.85, tol = 1e-12, maxIter = 300)
+    val (long, stats) = PageRank.runMultiSeed(g, seeds, cfg)
+    assert(stats.reason.converged)
+    seeds.foreach { sd =>
+      val v = g.vertices.select(col("id"),
+        when(col("id") === sd, 1.0).otherwise(0.0).as("v"))
+      val (single, _) = PageRank.run(g, cfg, personalization = Some(v))
+      val diff = long.where(col("seed") === sd)
+        .select(col("id"), col("rank").as("a"))
+        .join(single.toDF().withColumnRenamed("rank", "b"), "id")
+        .agg(max(abs(col("a") - col("b")))).head().getDouble(0)
+      assert(diff < 1e-9, s"seed $sd differs from single personalized run by $diff")
+    }
+    // every seed's PPR is a probability vector
+    val sums = long.groupBy(col("seed")).agg(sum(col("rank")).as("s"))
+      .collect().map(_.getDouble(1))
+    sums.foreach(x => assert(math.abs(x - 1.0) < 1e-9))
+  }
 }
