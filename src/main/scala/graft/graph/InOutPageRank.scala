@@ -75,7 +75,7 @@ object InOutPageRank {
       val (joined, row) = truncateAndAgg(pre, Seq(sum(col("yraw"))))
       val s = Option(row.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
       val dtx = sx - s
-      (joined.withColumn("y", col("yraw") + lit(dtx) * vCol).drop("yraw"), s)
+      (joined.withColumn("y", col("yraw") + GraftSqlInternals.stableLit(dtx) * vCol).drop("yraw"), s)
     }
 
     // x₀ = v (ppagerank.cc:366-371); y₀ = Bx₀
@@ -111,9 +111,10 @@ object InOutPageRank {
         val (j, jRow) = truncateAndAgg(jPre, Seq(sum(col("ay"))))
         val s = Option(jRow.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
         val omega = 1.0 - s
+        val om = GraftSqlInternals.stableLit(omega)
         val nxtPre = j.select(carry ++ Seq(
-          (col("ay") + lit(omega) * vCol).as("x"),
-          abs(col("ay") + lit(omega) * vCol - col("x")).as("diff")): _*)
+          (col("ay") + om * vCol).as("x"),
+          abs(col("ay") + om * vCol - col("x")).as("diff")): _*)
         val (nxt, nxtRow) = truncateAndAgg(nxtPre, Seq(sum(col("diff"))))
         delta = nxtRow.getDouble(0)
         frame = nxt.drop("diff")

@@ -185,9 +185,10 @@ object PageRank {
       // ω = 1 − ‖αPᵀx‖₁ = 1 − α·(eᵀx − dᵀx), with eᵀx and dᵀx measured as
       // side scalars of the previous iteration's aggregate — same
       // self-correcting fold as the reference (ppagerank.cc:307-315).
-      // ω travels as a broadcast one-row frame, NOT an inlined literal: a
-      // changing literal would alter the generated code every iteration and
-      // force a Janino recompile of every stage (hundreds of ms serial).
+      // ω travels via GraftSqlInternals.stableLit (codegen references
+      // array), NOT an inlined literal: a changing literal would alter the
+      // generated source every iteration and force a Janino recompile of
+      // every stage touching it (tens of ms serial per stage).
       val omega = 1.0 - cfg.alpha * (sx - dtx)
       val contrib = spmv(prep, frame.select(col("id"), col("rank")))
         .withColumnRenamed("y", "yraw")
@@ -195,7 +196,8 @@ object PageRank {
       val next = frame.select(carry :+ col("rank").as("rank_prev"): _*)
         .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
         .withColumn("rank",
-          lit(cfg.alpha) * coalesce(col("yraw"), lit(0.0)) + lit(omega) * vCol)
+          lit(cfg.alpha) * coalesce(col("yraw"), lit(0.0)) +
+            GraftSqlInternals.stableLit(omega) * vCol)
         // residual ‖xₖ₊₁−xₖ‖₁, next dᵀx and eᵀx are observed as accumulator
         // side-effects of the SAME tasks that materialize the iterate below
         // (no dedicated aggregation stage, no read-back of the fresh cache)
@@ -301,7 +303,7 @@ object PageRank {
         .join(contrib.hint("shuffle_hash"), col("id") === col("cid"), "left")
       val rankCols = Seq.tabulate(k) { j =>
         (lit(cfg.alpha) * coalesce(col(s"y$j"), lit(0.0)) +
-          lit(omega(j)) * vCol(j)).as(s"r$j")
+          GraftSqlInternals.stableLit(omega(j)) * vCol(j)).as(s"r$j")
       }
       val metricCols =
         Seq.tabulate(k)(j => sum(abs(col(s"r$j") - col(s"p$j"))).as(s"d$j")) ++

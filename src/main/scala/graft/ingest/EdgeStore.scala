@@ -66,8 +66,9 @@ object EdgeStore {
     *    overwrite) — at web scale a small delta touches a handful of the
     *    store's buckets and the other ~99% of bytes are never opened;
     *  - src-level renormalization: within an affected bucket, rows of
-    *    untouched sources pass through verbatim (broadcast anti-join on the
-    *    delta src set); only touched src groups re-aggregate and re-divide
+    *    untouched sources pass through verbatim (anti-join on the delta src
+    *    set — broadcast while small, shuffle above ~5M touched srcs);
+    *    only touched src groups re-aggregate and re-divide
     *    by their new out-sum — normalization is per-source, so this is
     *    exactly the minimal recompute set.
     *
@@ -85,9 +86,14 @@ object EdgeStore {
         col("weight").cast("double"))
       .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val affSrcs = delta.select(col("src")).distinct()
+    val affSrcs0 = delta.select(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nTouched = affSrcs.count()
+    val nTouched = affSrcs0.count()
+    // broadcast the touched-src set only while it is actually small; a bulk
+    // delta (e.g. a backfill touching 10^8 sources) must shuffle-join or the
+    // broadcast would OOM the driver
+    val affSrcs =
+      if (nTouched <= 5000000L) broadcast(affSrcs0) else affSrcs0
     val affBuckets = affSrcs
       .select(pmod(xxhash64(col("src")), lit(buckets)).cast("int").as("bucket"))
       .distinct().as[Int].collect().toSeq
@@ -96,12 +102,12 @@ object EdgeStore {
     val rawAff = spark.read.parquet(s"$path/raw_edges")
       .where(col("bucket").isin(affBuckets: _*)) // partition pruning
       .select(col("src"), col("dst"), col("weight"))
-    val keepRaw = rawAff.join(broadcast(affSrcs), Seq("src"), "left_anti")
+    val keepRaw = rawAff.join(affSrcs, Seq("src"), "left_anti")
     // eager localCheckpoint: EVERY frame derived from the store's parquet
     // files must be fully materialized BEFORE the first overwrite below, or
     // a lazy recompute would re-read the already-rewritten files (double-
     // applying the delta, or resolving stale file listings)
-    val touchedRaw = rawAff.join(broadcast(affSrcs), Seq("src"), "left_semi")
+    val touchedRaw = rawAff.join(affSrcs, Seq("src"), "left_semi")
       .unionByName(delta)
       .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
       .where(col("weight") > 0) // net-negative multiplicity = edge removed
@@ -114,7 +120,7 @@ object EdgeStore {
     val keepNorm = spark.read.parquet(s"$path/edges")
       .where(col("bucket").isin(affBuckets: _*))
       .select(col("src"), col("dst"), col("weight"))
-      .join(broadcast(affSrcs), Seq("src"), "left_anti")
+      .join(affSrcs, Seq("src"), "left_anti")
 
     val mergedRaw = keepRaw.unionByName(touchedRaw).localCheckpoint(true)
     val mergedNorm = keepNorm.unionByName(touchedNorm).localCheckpoint(true)
@@ -163,7 +169,7 @@ object EdgeStore {
           .write.mode("append").parquet(s"$path/dict")
       }
     }
-    affSrcs.unpersist(); delta.unpersist()
+    affSrcs0.unpersist(); delta.unpersist()
     MergeStats(nTouched, affBuckets.size, buckets, nNew)
   }
 

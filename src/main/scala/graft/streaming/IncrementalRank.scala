@@ -53,9 +53,9 @@ object IncrementalRank {
       cfg: PageRankConfig = PageRankConfig())(
       batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
-      val prev =
+      val prev = // first batch: no ranks yet → cold start; other errors surface
         try Some(spark.read.parquet(ranksPath))
-        catch { case _: Exception => None } // first batch: cold start
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
       // one link event = multiplicity 1 unless the batch already carries
       // explicit multiplicity weights
       val delta =

@@ -2,8 +2,12 @@ package org.apache.spark.sql
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.LeafExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.classic.{DataFrame => CDataFrame, Dataset => CDataset, SparkSession => CSparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.storage.StorageLevel
 
 /** Internal bridge for iterative algorithms: persist the computed rows of a
@@ -15,7 +19,33 @@ import org.apache.spark.storage.StorageLevel
   * Output partitioning/ordering are preserved (LogicalRDD.fromDataset), so
   * co-partitioned joins stay shuffle-free across iterations.
   */
+/** A per-iteration scalar (ω, dᵀx, …) that travels through the codegen
+  * REFERENCES ARRAY instead of being inlined into the generated source.
+  * `lit(omega)` bakes the double into the Java text, so every iteration of
+  * an iterative solver produces different source and pays a fresh Janino
+  * compile of every stage touching it; StableDouble keeps the source
+  * byte-identical across iterations (only `references` differs), so the
+  * CodeGenerator cache hits from iteration 2 on. foldable=false keeps the
+  * optimizer from constant-folding it back into an inline literal.
+  */
+case class StableDouble(value: Double) extends LeafExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: InternalRow): Any = value
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftStableDouble",
+      java.lang.Double.valueOf(value), "java.lang.Double")
+    ev.copy(
+      code = code"final double ${ev.value} = $ref.doubleValue();",
+      isNull = FalseLiteral)
+  }
+}
+
 object GraftSqlInternals {
+
+  /** Column carrying a per-iteration scalar with iteration-stable codegen. */
+  def stableLit(value: Double): Column = columnOf(StableDouble(value))
 
   /** Column ⇄ Expression bridge (classic.ExpressionUtils is private[sql]). */
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
