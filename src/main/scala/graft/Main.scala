@@ -145,23 +145,41 @@ object Main {
     }
     require(warm.isEmpty || alg == "power", s"-warmstart is power-only (got -alg $alg)")
 
-    val (ranks, stats) = alg match {
+    val (ranks, stats): (DataFrame, graft.model.PageRankStats) = alg match {
       case "power" =>
-        PageRank.run(g, PageRankConfig(alpha = alpha, tol = tol, maxIter = maxiter,
-          checkpointDir = ckpt, saltThreshold = salt),
+        val (r, st) = PageRank.run(g, PageRankConfig(alpha = alpha, tol = tol,
+          maxIter = maxiter, checkpointDir = ckpt, saltThreshold = salt),
           resume = o.flag("resume"), personalization = pvec, warmStart = warm)
+        (r.toDF(), st)
       case "inout" =>
-        InOutPageRank.run(g, InOutPageRank.InOutConfig(
+        val (r, st) = InOutPageRank.run(g, InOutPageRank.InOutConfig(
           alpha = alpha,
           beta = o.str("inout_beta").filter(_.nonEmpty).map(_.toDouble),
           eta = o.dbl("inout_eta", 1e-2),
           maxInnerIter = o.int("inout_max_inner_iter", 1000),
-          tol = tol, maxIter = maxiter, saltThreshold = salt),
-          personalization = pvec)
+          tol = tol, maxIter = maxiter, saltThreshold = salt,
+          checkpointDir = ckpt),
+          personalization = pvec, resume = o.flag("resume"))
+        (r.toDF(), st)
       case "arnoldi" =>
-        ArnoldiPageRank.run(g, ArnoldiPageRank.ArnoldiConfig(
-          alpha = alpha, tol = tol, maxRestarts = maxiter, saltThreshold = salt),
-          personalization = pvec)
+        val (r, st) = ArnoldiPageRank.run(g, ArnoldiPageRank.ArnoldiConfig(
+          alpha = alpha, tol = tol, maxRestarts = maxiter, saltThreshold = salt,
+          checkpointDir = ckpt),
+          personalization = pvec, resume = o.flag("resume"))
+        (r.toDF(), st)
+      case "ppr" =>
+        // batched multi-seed personalized PageRank: -seeds is either a
+        // comma-separated id list or a parquet path with a `seed` column
+        val seedSpec = o.str("seeds").filter(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException("-alg ppr requires -seeds <ids|parquet>"))
+        val seeds: Seq[Long] =
+          if (seedSpec.forall(c => c.isDigit || c == ','))
+            seedSpec.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+          else spark.read.parquet(seedSpec).select(col("seed").cast("long"))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+        PageRank.runMultiSeed(g, seeds, PageRankConfig(alpha = alpha, tol = tol,
+          maxIter = maxiter, checkpointDir = ckpt, saltThreshold = salt),
+          resume = o.flag("resume"))
       case other =>
         // PPAGERANK_ERR_ALG_UNKNOWN (ppagerank.h:28, ppagerank.cc:140-142)
         throw new IllegalArgumentException(s"unknown algorithm: $other")

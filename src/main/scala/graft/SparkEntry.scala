@@ -255,7 +255,7 @@ object SparkEntry {
       Similarity.lshTopK(
         emb.select(col("vec_id").as("id"), col("embedding")),
         emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
-        k = 5)
+        k = 5, multiprobe = 1)
     }),
 
     "m4_knn_ivf" -> ((s, dir) => { // rows-only: centroids are engine-trained
@@ -306,6 +306,24 @@ object SparkEntry {
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"), col("feat_dim"),
           col("frames_sampled"), col("ok"))
+    })
+  )
+
+  /** Bench-mode variants (consulted by Bench ONLY — Verify always runs
+    * `queries`). a3/a4 in `queries` run at oracle-grade tolerances
+    * (1e-13 / 1e-12) so the 6-dp DuckDB fixed-point compare is exact; the
+    * BENCHMARK should time the solvers at the reference's default tolerance
+    * (tol 1e-7, /root/reference/ppagerank.cc:88-89) — deep-tol timings
+    * measure the oracle protocol, not the operator.
+    */
+  def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a3_inout" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      InOutPageRank.run(g, InOutPageRank.InOutConfig(tol = 1e-7))._1.toDF()
+    }),
+    "a4_arnoldi" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      ArnoldiPageRank.run(g, ArnoldiPageRank.ArnoldiConfig(tol = 1e-7))._1.toDF()
     })
   )
 

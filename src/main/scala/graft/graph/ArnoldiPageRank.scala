@@ -41,11 +41,20 @@ object ArnoldiPageRank {
       k: Int = 8, // hardcoded 8 in the reference (ppagerank.cc:509)
       maxRestarts: Int = 1250,
       saltThreshold: Int = 0,
-      saltBuckets: Int = 8)
+      saltBuckets: Int = 8,
+      /** North-rule resumability: the restart vector x IS the whole solver
+        * state (the V basis is rebuilt from it each restart), so a snapshot
+        * per `checkpointEvery` restarts — with per-partition lineage — lets
+        * `run(resume = true)` continue from the last validated restart; the
+        * scalar sums are re-measured from the snapshot.
+        */
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5)
 
   def run(g: LinkGraph, cfg: ArnoldiConfig = ArnoldiConfig(),
       runId: String = "arnoldi",
-      personalization: Option[DataFrame] = None): (Dataset[VertexRank], PageRankStats) = {
+      personalization: Option[DataFrame] = None,
+      resume: Boolean = false): (Dataset[VertexRank], PageRankStats) = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val n = g.numVertices
@@ -82,9 +91,19 @@ object ArnoldiPageRank {
         .drop("yraw")
     }
 
+    // Resume (north rule): x is the whole inter-restart state; scalars are
+    // re-measured below, identically for a cold and a resumed start.
+    var startRestart = 0
+    val resumed: Option[DataFrame] = if (resume) {
+      cfg.checkpointDir.flatMap { dir =>
+        graft.ingest.TableIO.latestValidSnapshot(spark, s"$dir/$runId", "restart_")
+          .map { case (kk, snap) => startRestart = kk; snap }
+      }
+    } else None
+
     // x₀ = v (ppagerank.cc:544-550)
-    val tr0 = GraftSqlInternals.truncate(base.withColumn("x",
-      if (hasV) col("v") else lit(1.0 / n)))
+    val tr0 = GraftSqlInternals.truncate(resumed.getOrElse(
+      base.withColumn("x", if (hasV) col("v") else lit(1.0 / n))))
     var x = tr0.df
     var xHandle: Option[org.apache.spark.sql.GraftSqlInternals.Truncated] = Some(tr0)
     var (ex, dx, xNorm2, xNorm1) = {
@@ -94,7 +113,8 @@ object ArnoldiPageRank {
     }
 
     val trace = scala.collection.mutable.ArrayBuffer[IterMetric]()
-    var restart = 0
+    var flushedUpTo = 0
+    var restart = startRestart
     var delta = Double.MaxValue
     var reason: ConvergedReason = ConvergedReason.MaxIterations
 
@@ -208,7 +228,18 @@ object ArnoldiPageRank {
 
       restart += 1
       trace += IterMetric(runId, restart, delta, xNorm1, (System.nanoTime() - t0) / 1000000L)
-      if (delta < cfg.tol) reason = ConvergedReason.ResidualBelowTol
+      val converged = delta < cfg.tol
+      if (converged || (cfg.checkpointDir.isDefined && restart % cfg.checkpointEvery == 0)) {
+        cfg.checkpointDir.foreach { dir =>
+          x = graft.ingest.TableIO.commitSnapshotWithLineage(
+            x, s"$dir/$runId", runId, "restart_", restart)
+          val fresh = trace.toSeq.drop(flushedUpTo)
+          if (fresh.nonEmpty)
+            graft.ingest.TableIO.appendRows(fresh.toDF(), s"$dir/$runId/_metrics")
+          flushedUpTo = trace.size
+        }
+      }
+      if (converged) reason = ConvergedReason.ResidualBelowTol
     }
 
     // sign-fix + L1-normalize (deviation from reference; see scaladoc)

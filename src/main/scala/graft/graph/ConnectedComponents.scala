@@ -30,8 +30,10 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
 
-    var labels = vertices.select(col("id"), col("id").as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val t0 = org.apache.spark.sql.GraftSqlInternals.truncate(
+      vertices.select(col("id"), col("id").as("component")))
+    var labelsHandle = t0.handle
+    var labels = t0.df
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -39,21 +41,27 @@ object ConnectedComponents {
       val neigh = und.join(labels, und("dst") === labels("id"))
         .groupBy(und("src").as("id"))
         .agg(min(col("component")).as("nmin"))
+      // `old` (the pre-round label) rides through the round so convergence
+      // is an `observe` accumulator on the SAME tasks that materialize the
+      // new labels — no dedicated join+count action per round
       val step1 = labels.join(neigh, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
       // label shortcutting: component ← label(component)
       val byId = step1.select(col("id").as("cid"), col("component").as("cc2"))
       // labels is referenced 3× per round (neigh, step1, shortcut) — the plan
       // would grow 3^k without per-round lineage truncation.
-      val compressed = step1.join(byId, step1("component") === byId("cid"), "left")
-        .select(col("id"), coalesce(col("cc2"), col("component")).as("component"))
-        .localCheckpoint(true)
-
-      changed = compressed.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).count()
-      labels.unpersist(false)
-      labels = compressed
+      val (t, obs) = org.apache.spark.sql.GraftSqlInternals.truncateObserved(
+        step1.join(byId, step1("component") === byId("cid"), "left")
+          .select(col("id"),
+            coalesce(col("cc2"), col("component")).as("component"), col("old"))
+          .observe("cc",
+            sum(when(col("component") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+          .select(col("id"), col("component")))
+      changed = Option(obs("cc").get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      labelsHandle.unpersist(false)
+      labelsHandle = t.handle
+      labels = t.df
       iter += 1
     }
     und.unpersist(false)

@@ -33,11 +33,20 @@ object InOutPageRank {
       tol: Double = 1e-7,
       maxIter: Int = 10000,
       saltThreshold: Int = 0,
-      saltBuckets: Int = 8)
+      saltBuckets: Int = 8,
+      /** North-rule resumability, at parity with PageRankConfig: every
+        * `checkpointEvery` OUTER iterations the solver state — the iterate
+        * frame plus the inner/power mode flag — is snapshotted with
+        * per-partition lineage; `run(resume = true)` restarts from the
+        * latest snapshot whose lineage digest validates.
+        */
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 10)
 
   def run(g: LinkGraph, cfg: InOutConfig = InOutConfig(),
       runId: String = "inout",
-      personalization: Option[DataFrame] = None): (Dataset[VertexRank], PageRankStats) = {
+      personalization: Option[DataFrame] = None,
+      resume: Boolean = false): (Dataset[VertexRank], PageRankStats) = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val n = g.numVertices
@@ -78,23 +87,41 @@ object InOutPageRank {
       (joined.withColumn("y", col("yraw") + GraftSqlInternals.stableLit(dtx) * vCol).drop("yraw"), s)
     }
 
+    // Resume (north rule): the snapshot carries the iterate frame plus `im`
+    // (the inner/power mode flag — the only non-recomputable scalar state;
+    // eᵀx and eᵀv are re-measured from the frame below).
+    var innerMode = true
+    var startIter = 0
+    val resumed: Option[DataFrame] = if (resume) {
+      cfg.checkpointDir.flatMap { dir =>
+        graft.ingest.TableIO.latestValidSnapshot(spark, s"$dir/$runId", "iter_")
+          .map { case (k, snap) =>
+            startIter = k
+            innerMode = snap.select(col("im")).head().getBoolean(0)
+            snap.drop("im")
+          }
+      }
+    } else None
+
     // x₀ = v (ppagerank.cc:366-371); y₀ = Bx₀
-    var frame = personalization match {
+    var frame = resumed.getOrElse(personalization match {
       case Some(p) => g.vertices
         .join(p.select(col("id"), col("v").cast("double")), Seq("id"), "left")
         .select(col("id"), coalesce(col("v"), lit(0.0)).as("v"))
         .withColumn("x", col("v"))
       case None => g.vertices.withColumn("x", lit(vUniform))
-    }
+    })
     val sv = if (hasV) frame.agg(sum(col("v"))).head().getDouble(0) else 1.0
-    var sx = sv
-    var (f0, _) = danglingMult(frame, sx)
-    frame = f0 // (id, [v,] x, y)
+    var sx = if (resumed.isDefined) frame.agg(sum(col("x"))).head().getDouble(0) else sv
+    if (resumed.isEmpty || innerMode && !frame.columns.contains("y")) {
+      val (f0, _) = danglingMult(frame, sx)
+      frame = f0 // (id, [v,] x, y)
+    }
 
     val trace = scala.collection.mutable.ArrayBuffer[IterMetric]()
-    var innerMode = true
+    var flushedUpTo = 0
     var delta = Double.MaxValue
-    var iter = 0
+    var iter = startIter
     var reason: ConvergedReason = ConvergedReason.MaxIterations
 
     while (iter < cfg.maxIter && delta >= cfg.tol) {
@@ -166,7 +193,19 @@ object InOutPageRank {
       }
       iter += 1
       trace += IterMetric(runId, iter, delta, sx, (System.nanoTime() - t0) / 1000000L)
-      if (delta < cfg.tol) reason = ConvergedReason.ResidualBelowTol
+      val converged = delta < cfg.tol
+      if (converged || (cfg.checkpointDir.isDefined && iter % cfg.checkpointEvery == 0)) {
+        cfg.checkpointDir.foreach { dir =>
+          frame = graft.ingest.TableIO.commitSnapshotWithLineage(
+            frame.withColumn("im", lit(innerMode)),
+            s"$dir/$runId", runId, "iter_", iter).drop("im")
+          val fresh = trace.toSeq.drop(flushedUpTo)
+          if (fresh.nonEmpty)
+            graft.ingest.TableIO.appendRows(fresh.toDF(), s"$dir/$runId/_metrics")
+          flushedUpTo = trace.size
+        }
+      }
+      if (converged) reason = ConvergedReason.ResidualBelowTol
     }
 
     // In inner mode the current iterate satisfies x with y = Bx; the rank

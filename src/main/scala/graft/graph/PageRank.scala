@@ -257,8 +257,9 @@ object PageRank {
     */
   def runMultiSeed(g: LinkGraph, seeds: Seq[Long],
       cfg: PageRankConfig = PageRankConfig(),
-      runId: String = "ppr"): (DataFrame, PageRankStats) = {
+      runId: String = "ppr", resume: Boolean = false): (DataFrame, PageRankStats) = {
     val spark = g.edges.sparkSession
+    import spark.implicits._
     val k = seeds.size
     require(k >= 1 && k <= 64, s"1..64 seeds supported, got $k")
     require(seeds.distinct.size == k, "duplicate seeds")
@@ -271,9 +272,26 @@ object PageRank {
     def vCol(j: Int): Column =
       when(col("id") === seeds(j), 1.0).otherwise(0.0)
 
+    // Resume (north rule, at parity with the single-vector kernel): the k
+    // rank columns are the whole state; per-seed scalars are re-measured.
+    var startIter = 0
+    val resumed: Option[DataFrame] = if (resume) {
+      cfg.checkpointDir.flatMap { dir =>
+        TableIO.latestValidSnapshot(spark, s"$dir/$runId", "iter_")
+          .map { case (kk, snap) =>
+            require(snap.columns.count(_.startsWith("r")) == k,
+              s"checkpoint under $dir/$runId has " +
+                s"${snap.columns.count(_.startsWith("r"))} seed columns, " +
+                s"but ${k} seeds were requested — seed set must match")
+            startIter = kk
+            snap
+          }
+      }
+    } else None
+
     // x₀_j = v_j (the reference's personalized start, ppagerank.cc:291-295)
-    var frameHandle = GraftSqlInternals.truncate(base.select(
-      col("id") +: col("dang") +: Seq.tabulate(k)(j => vCol(j).as(s"r$j")): _*))
+    var frameHandle = GraftSqlInternals.truncate(resumed.getOrElse(base.select(
+      col("id") +: col("dang") +: Seq.tabulate(k)(j => vCol(j).as(s"r$j")): _*)))
     var frame = frameHandle.df
     // per-seed scalars: x₀_j sums to 1 iff the seed is in the vertex domain
     val aggCols0 = Seq.tabulate(k)(j => sum(col("dang") * col(s"r$j"))) ++
@@ -281,9 +299,20 @@ object PageRank {
     val r0 = frame.agg(aggCols0.head, aggCols0.tail: _*).head()
     val dtx = Array.tabulate(k)(j => r0.getDouble(j))
     val sx = Array.tabulate(k)(j => r0.getDouble(k + j))
+    // a seed outside the vertex domain would make x₀ ≡ 0 for that column:
+    // the first residual is 0 and the solver would "converge" to a silent
+    // all-zero PPR vector — fail loudly instead. (On resume the columns are
+    // converged iterates, not indicators, so the x₀-sum check only applies
+    // to a cold start.)
+    if (resumed.isEmpty) {
+      val missing = seeds.indices.filter(j => sx(j) != 1.0).map(seeds)
+      require(missing.isEmpty,
+        s"seed(s) not in vertex domain: ${missing.mkString(", ")}")
+    }
 
     val trace = scala.collection.mutable.ArrayBuffer[IterMetric]()
-    var iter = 0
+    var flushedUpTo = 0
+    var iter = startIter
     var delta = Double.MaxValue
     var reason: ConvergedReason = ConvergedReason.MaxIterations
 
@@ -323,7 +352,17 @@ object PageRank {
       frameHandle.handle.unpersist(false)
       frameHandle = nextHandle
       frame = nextHandle.df
-      if (delta < cfg.tol) reason = ConvergedReason.ResidualBelowTol
+      val converged = delta < cfg.tol
+      if (converged || (cfg.checkpointDir.isDefined && iter % cfg.checkpointEvery == 0)) {
+        cfg.checkpointDir.foreach { dir =>
+          frame = TableIO.commitSnapshotWithLineage(
+            frame, s"$dir/$runId", runId, "iter_", iter)
+          val fresh = trace.toSeq.drop(flushedUpTo)
+          if (fresh.nonEmpty) TableIO.appendRows(fresh.toDF(), s"$dir/$runId/_metrics")
+          flushedUpTo = trace.size
+        }
+      }
+      if (converged) reason = ConvergedReason.ResidualBelowTol
     }
 
     // long form (id, seed, rank)

@@ -48,10 +48,64 @@ object EdgeStore {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Bucket count the store was written with (pre-meta stores default 64). */
-  def readBuckets(spark: SparkSession, path: String): Int =
-    try spark.read.parquet(s"$path/meta").head().getInt(0)
-    catch { case _: Exception => 64 }
+  private def hfs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Bucket count the store was written with. Defaults to 64 ONLY when the
+    * meta dir is genuinely absent (a pre-meta store); any other failure
+    * (corrupt meta, transient read error) propagates — merging with a
+    * guessed bucket count would prune with the wrong bucket mapping and
+    * silently drop touched sources' existing edges.
+    */
+  def readBuckets(spark: SparkSession, path: String): Int = {
+    val (fs, p) = hfs(spark, s"$path/meta")
+    if (!fs.exists(p)) 64
+    else spark.read.parquet(p.toString).head().getInt(0)
+  }
+
+  // ---- merge commit protocol ----
+  // A merge rewrites raw_edges and edges in two separate commits; a crash
+  // between them would leave the store internally inconsistent with no
+  // trace. `_merge_inprogress` is created (exclusively — concurrent merges
+  // collide here) before the first rewrite and removed after the last, so
+  // read()/mergeDelta can refuse a store whose last merge died mid-commit.
+  // `_last_merge_tag` records the caller-supplied tag (e.g. a streaming
+  // batchId) atomically with merge completion, giving at-least-once sinks an
+  // idempotency cursor.
+
+  private def markerPath(path: String) = s"$path/_merge_inprogress"
+
+  private def requireConsistent(spark: SparkSession, path: String): Unit = {
+    val (fs, m) = hfs(spark, markerPath(path))
+    require(!fs.exists(m),
+      s"edge store $path has an unfinished merge (${m.getName} present): " +
+        "a previous mergeDelta crashed between the raw_edges and edges " +
+        "rewrites — rebuild the store or restore from a snapshot")
+  }
+
+  /** Tag recorded by the last completed merge (None for never-merged or
+    * pre-tag stores).
+    */
+  def lastMergeTag(spark: SparkSession, path: String): Option[Long] = {
+    val (fs, p) = hfs(spark, s"$path/_last_merge_tag")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeTag(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, tag: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_last_merge_tag")
+    val out = fs.create(p, true)
+    try out.write(tag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   final case class MergeStats(
       touchedSrcs: Long, affectedBuckets: Int, totalBuckets: Int,
@@ -78,8 +132,9 @@ object EdgeStore {
     * row-stochastic under edge arrivals without a full rebuild.
     */
   def mergeDelta(spark: SparkSession, path: String, deltaRaw: DataFrame,
-      deltaDict: Option[DataFrame] = None): MergeStats = {
+      deltaDict: Option[DataFrame] = None, tag: Option[Long] = None): MergeStats = {
     import spark.implicits._
+    requireConsistent(spark, path)
     val buckets = readBuckets(spark, path)
     val delta = deltaRaw
       .select(col("src").cast("long"), col("dst").cast("long"),
@@ -135,6 +190,11 @@ object EdgeStore {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(s"$path/$sub")
+    // in-progress marker: exclusive create — a concurrent merge fails here
+    // instead of interleaving rewrites; removed only after BOTH rewrites,
+    // the emptied-bucket cleanup, and the vertex append are durable
+    val (mfs, mpath) = hfs(spark, markerPath(path))
+    mfs.create(mpath, false).close()
     rewrite(mergedRaw, "raw_edges")
     rewrite(mergedNorm, "edges")
 
@@ -169,12 +229,15 @@ object EdgeStore {
           .write.mode("append").parquet(s"$path/dict")
       }
     }
+    tag.foreach(t => writeTag(mfs, path, t))
+    mfs.delete(mpath, false)
     affSrcs0.unpersist(); delta.unpersist()
     MergeStats(nTouched, affBuckets.size, buckets, nNew)
   }
 
   def read(spark: SparkSession, path: String): LinkGraph = {
     import spark.implicits._
+    requireConsistent(spark, path)
     val edges = spark.read.parquet(s"$path/edges")
       .select(col("src"), col("dst"), col("weight")).as[Edge]
       .repartition(col("src")) // restore co-partitioning for rank joins

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for web-scale corpora. Every variant is a pure
@@ -24,11 +23,18 @@ object Dedup {
     */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val w = Window.partitionBy(col("fp"), col("norm"))
-    df.select(col(idCol).as("id"), norm.as("norm"))
+    val keyed = df.select(col(idCol).as("id"), norm.as("norm"))
       .withColumn("fp", xxhash64(col("norm")))
-      .withColumn("keep_id", min(col("id")).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+    // groupBy + rejoin instead of a window: the aggregate's PARTIAL stage
+    // collapses duplicate-heavy groups map-side, so the shuffle carries one
+    // (fp, norm, keep_id, count) row per distinct document rather than every
+    // row's full text through a sort (the window form ships all N texts
+    // unreduced and sorts them). The rejoin probe side still carries norm —
+    // that is the price of collision-safety (text equality, not hash
+    // equality, defines a group).
+    val groups = keyed.groupBy(col("fp"), col("norm"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("group_size"))
+    keyed.join(groups, Seq("fp", "norm"))
       .select(col("id"), col("keep_id"), col("group_size"))
   }
 

@@ -88,8 +88,12 @@ object Similarity {
     * tables (memory) or fewer planes (bucket blowup).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 8, multiprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
-    require(multiprobe <= 1, "only Hamming-distance-0/1 probing implemented")
+      nPlanes: Int = 8, multiprobe: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    // default 0 = no probing (the original call-site contract); callers opt
+    // into the Hamming-1 fan-out explicitly. Negative values are rejected
+    // rather than silently behaving like depth-1 probing.
+    require(multiprobe >= 0 && multiprobe <= 1,
+      s"only Hamming-distance-0/1 probing implemented, got $multiprobe")
     val c = corpus.select(col("id"), col("embedding").as("ce"))
       .withColumn("key", lshKey(col("ce"), nPlanes))
     val q0 = queries.select(col("qid"), col("embedding").as("qe"))

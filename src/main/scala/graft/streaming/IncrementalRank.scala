@@ -31,8 +31,8 @@ object IncrementalRank {
   def updateAndRank(spark: SparkSession, storePath: String,
       deltaRaw: DataFrame, prevRanks: Option[DataFrame],
       cfg: PageRankConfig = PageRankConfig(),
-      deltaDict: Option[DataFrame] = None): UpdateResult = {
-    val merge = EdgeStore.mergeDelta(spark, storePath, deltaRaw, deltaDict)
+      deltaDict: Option[DataFrame] = None, tag: Option[Long] = None): UpdateResult = {
+    val merge = EdgeStore.mergeDelta(spark, storePath, deltaRaw, deltaDict, tag)
     val g = EdgeStore.read(spark, storePath)
     val (ranks, stats) = PageRank.run(g, cfg, warmStart = prevRanks)
     // ranks is lineage-truncated inside run, so the read-side caches can go
@@ -56,14 +56,28 @@ object IncrementalRank {
       val prev = // first batch: no ranks yet → cold start; other errors surface
         try Some(spark.read.parquet(ranksPath))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
-      // one link event = multiplicity 1 unless the batch already carries
-      // explicit multiplicity weights
-      val delta =
-        if (batch.columns.contains("weight"))
-          batch.select(col("src"), col("dst"), col("weight"))
-        else batch.select(col("src"), col("dst"), lit(1.0).as("weight"))
-      val res = updateAndRank(spark, storePath, delta, prev, cfg)
-      res.ranks.write.mode("overwrite").parquet(ranksPath)
+      // foreachBatch is at-least-once: a retried/re-delivered micro-batch
+      // must NOT re-run mergeDelta (multiplicity adds are not idempotent —
+      // a double-applied delta permanently diverges the store). The merge
+      // records batchId as its commit tag; a batch at or below the recorded
+      // cursor only refreshes the ranks (idempotent), which also heals a
+      // crash that landed between the store merge and the ranks write.
+      if (EdgeStore.lastMergeTag(spark, storePath).exists(_ >= batchId)) {
+        val g = EdgeStore.read(spark, storePath)
+        val (ranks, _) = PageRank.run(g, cfg, warmStart = prev)
+        g.edges.unpersist(); g.vertices.unpersist()
+        ranks.toDF().write.mode("overwrite").parquet(ranksPath)
+      } else {
+        // one link event = multiplicity 1 unless the batch already carries
+        // explicit multiplicity weights
+        val delta =
+          if (batch.columns.contains("weight"))
+            batch.select(col("src"), col("dst"), col("weight"))
+          else batch.select(col("src"), col("dst"), lit(1.0).as("weight"))
+        val res = updateAndRank(spark, storePath, delta, prev, cfg,
+          tag = Some(batchId))
+        res.ranks.write.mode("overwrite").parquet(ranksPath)
+      }
     }
   }
 }

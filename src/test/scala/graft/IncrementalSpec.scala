@@ -227,6 +227,66 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     all.unpersist()
   }
 
+  test("a re-delivered micro-batch is NOT merged twice (at-least-once idempotency)") {
+    val all = rawEdges(100).persist()
+    // NOTE mod 5, not 4: the a·i+b edge arithmetic makes src+dst ≡ {1,3,odd}
+    // mod 4, so a mod-4 split yields an EMPTY delta (degenerate fixture)
+    val part = pmod(col("src") + col("dst"), lit(5))
+    val base = all.where(part =!= 0)
+    val delta = all.where(part === 0)
+    assert(!delta.isEmpty, "degenerate fixture: empty delta")
+    val store = tmp("inc_replay")
+    val ranksPath = tmp("inc_replay_ranks") + "/ranks"
+    EdgeStore.write(buildGraph(base), store, buckets = 8)
+    val cfg = PageRankConfig(tol = 1e-10, maxIter = 500)
+
+    IncrementalRank.maintain(spark, store, ranksPath, cfg)(delta, batchId = 0L)
+    val afterFirst = edgeMap(spark.read.parquet(s"$store/edges"))
+    assert(EdgeStore.lastMergeTag(spark, store).contains(0L))
+    // foreachBatch retry: SAME batchId re-delivered — the store must not
+    // double-apply the multiplicities (but ranks are still refreshed)
+    IncrementalRank.maintain(spark, store, ranksPath, cfg)(delta, batchId = 0L)
+    assert(edgeMap(spark.read.parquet(s"$store/edges")) == afterFirst,
+      "replayed batch double-applied the delta")
+    // the raw store equals the full rebuild exactly (single application)
+    assert(edgeMap(spark.read.parquet(s"$store/raw_edges")) ==
+      edgeMap(buildGraph(all).rawEdges.toDF()))
+    // a NEW batch id still merges
+    IncrementalRank.maintain(spark, store, ranksPath, cfg)(
+      Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"), batchId = 1L)
+    assert(EdgeStore.lastMergeTag(spark, store).contains(1L))
+    all.unpersist()
+  }
+
+  test("an unfinished merge marker makes read() and mergeDelta refuse the store") {
+    val all = rawEdges(60).persist()
+    val store = tmp("inc_marker")
+    EdgeStore.write(buildGraph(all), store, buckets = 4)
+    // simulate a crash mid-merge: marker present
+    Files.createFile(Paths.get(store, "_merge_inprogress"))
+    intercept[IllegalArgumentException] { EdgeStore.read(spark, store) }
+    intercept[IllegalArgumentException] {
+      EdgeStore.mergeDelta(spark, store, Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"))
+    }
+    Files.delete(Paths.get(store, "_merge_inprogress"))
+    assert(EdgeStore.read(spark, store).numEdges > 0) // healthy again
+    all.unpersist()
+  }
+
+  test("readBuckets propagates corrupt-meta failures instead of guessing 64") {
+    val store = tmp("inc_meta")
+    EdgeStore.write(buildGraph(rawEdges(60)), store, buckets = 4)
+    assert(EdgeStore.readBuckets(spark, store) == 4)
+    // corrupt the meta dir: files exist but are not readable parquet
+    val metaDir = new java.io.File(store, "meta")
+    metaDir.listFiles().foreach(_.delete())
+    Files.writeString(Paths.get(store, "meta", "part-corrupt.parquet"), "junk")
+    intercept[Exception] { EdgeStore.readBuckets(spark, store) }
+    // genuinely absent meta (pre-meta store) still defaults
+    metaDir.listFiles().foreach(_.delete()); metaDir.delete()
+    assert(EdgeStore.readBuckets(spark, store) == 64)
+  }
+
   test("updateAndRank end-to-end equals full recompute") {
     val all = skewedRaw(150).persist()
     val late = pmod(col("src") + col("dst") * 3, lit(7)) === 0

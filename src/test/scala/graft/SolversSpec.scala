@@ -89,6 +89,75 @@ class SolversSpec extends AnyFunSuite with SparkTestBase {
     assert(after - before <= 4, s"cached blocks grew $before -> $after")
   }
 
+  test("inout checkpoint + resume reproduces the uninterrupted result (kill-and-resume)") {
+    val (n, edges) = GraphFixtures.g2
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-ckpt").toString
+    val cfg = InOutPageRank.InOutConfig(alpha = 0.85, tol = 1e-10, maxIter = 300,
+      checkpointDir = Some(dir), checkpointEvery = 2)
+    val (full, _) = InOutPageRank.run(g, cfg, runId = "full")
+    // kill after 3 outer iterations (snapshot committed at iter 2)
+    InOutPageRank.run(g, cfg.copy(maxIter = 3), runId = "res")
+    assert(graft.ingest.TableIO.snapshots(spark, s"$dir/res", "iter_").nonEmpty)
+    val (resumed, st) = InOutPageRank.run(g, cfg, runId = "res", resume = true)
+    assert(st.reason.converged)
+    val a = full.collect().map(r => r.id -> r.rank).toMap
+    val b = resumed.collect().map(r => r.id -> r.rank).toMap
+    a.foreach { case (id, r) => assert(math.abs(b(id) - r) < 1e-9,
+      s"vertex $id: resumed ${b(id)} vs full $r") }
+    assert(spark.read.parquet(s"$dir/res/_metrics").count() > 0)
+  }
+
+  test("arnoldi checkpoint + resume reproduces the uninterrupted result (kill-and-resume)") {
+    val (n, edges) = GraphFixtures.g2
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ar-ckpt").toString
+    val cfg = ArnoldiPageRank.ArnoldiConfig(alpha = 0.85, tol = 1e-10, k = 4,
+      maxRestarts = 60, checkpointDir = Some(dir), checkpointEvery = 2)
+    val (full, _) = ArnoldiPageRank.run(g, cfg, runId = "full")
+    // kill after 3 restarts (snapshot committed at restart 2)
+    ArnoldiPageRank.run(g, cfg.copy(maxRestarts = 3), runId = "res")
+    assert(graft.ingest.TableIO.snapshots(spark, s"$dir/res", "restart_").nonEmpty)
+    val (resumed, st) = ArnoldiPageRank.run(g, cfg, runId = "res", resume = true)
+    assert(st.reason.converged)
+    val a = full.collect().map(r => r.id -> r.rank).toMap
+    val b = resumed.collect().map(r => r.id -> r.rank).toMap
+    a.foreach { case (id, r) => assert(math.abs(b(id) - r) < 1e-9,
+      s"vertex $id: resumed ${b(id)} vs full $r") }
+  }
+
+  test("multi-seed PPR checkpoint + resume reproduces the uninterrupted result") {
+    val (n, edges) = GraphFixtures.g2
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppr-ckpt").toString
+    val seeds = Seq(0L, 3L)
+    val cfg = PageRankConfig(alpha = 0.85, tol = 1e-10, maxIter = 300,
+      checkpointDir = Some(dir), checkpointEvery = 2)
+    val (full, _) = PageRank.runMultiSeed(g, seeds, cfg, runId = "full")
+    PageRank.runMultiSeed(g, seeds, cfg.copy(maxIter = 3), runId = "res")
+    assert(graft.ingest.TableIO.snapshots(spark, s"$dir/res", "iter_").nonEmpty)
+    val (resumed, st) = PageRank.runMultiSeed(g, seeds, cfg, runId = "res", resume = true)
+    assert(st.reason.converged)
+    val a = full.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val b = resumed.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, r) => assert(math.abs(b(k) - r) < 1e-9,
+      s"$k: resumed ${b(k)} vs full $r") }
+    // a mismatched seed set must be rejected, not silently mis-resumed
+    intercept[IllegalArgumentException] {
+      PageRank.runMultiSeed(g, Seq(0L, 3L, 4L), cfg, runId = "res", resume = true)
+    }
+  }
+
+  test("multi-seed PPR rejects a seed outside the vertex domain") {
+    val (n, edges) = GraphFixtures.g1
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    intercept[IllegalArgumentException] {
+      PageRank.runMultiSeed(g, Seq(0L, 999L),
+        PageRankConfig(alpha = 0.85, tol = 0.0, maxIter = 2))
+    }
+  }
+
   test("SmallSvd matches known singular values and A·v = σ·u") {
     // A = [[3,0],[0,2],[0,0]] → σ = (3, 2)
     val a = Array(Array(3.0, 0.0), Array(0.0, 2.0), Array(0.0, 0.0))
