@@ -329,6 +329,127 @@ scored AS (
   FROM cand c JOIN d da ON da.id = c.a JOIN d db ON db.id = c.b)
 SELECT a, b, ROUND(j, $dp) AS jaccard FROM scored WHERE j >= $threshold"""
 
+  /** Exhaustive char-k-shingle Jaccard near-dup twin of
+    * Dedup.minhashNearDup: ALL pairs (no LSH), distinct k-gram sets of the
+    * whitespace-normalized lowercased text, threshold filter. The engine
+    * computes Jaccard over xxhash64'd shingles (identical barring a 64-bit
+    * within-pair collision). Value-exact AND complete: at sf0.01 the banded
+    * minhash candidate stage has full recall, so the engine's verified
+    * output must equal this exhaustive set pair-for-pair — any lost
+    * candidate or drifted Jaccard fails the compare.
+    */
+  def charShingleJaccard(k: Int, threshold: Double, dp: Int): String = s"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, GREATEST(LENGTH(norm) - ${k - 1}, 0) + 1),
+           i -> norm[i : i + ${k - 1}])) AS sh
+  FROM (SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm FROM documents) z
+  WHERE LENGTH(norm) >= $k)
+SELECT a.id AS a, b.id AS b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         len(list_distinct(list_concat(a.sh, b.sh))), $dp) AS jaccard
+FROM d a JOIN d b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold"""
+
+  /** Pin+verify oracle for an engine-specific candidate stage (simhash):
+    * the (a, b) pair list is the engine's DETERMINISTIC candidate output at
+    * sf0.01 (pinned below), and DuckDB RE-COMPUTES the exact char-shingle
+    * Jaccard of every pinned pair from the raw documents — soundness of
+    * every emitted value is verified from first principles; membership
+    * drift (a changed hash kernel, bucketing, or threshold) changes the
+    * row set and fails the rows/hash compare.
+    */
+  def pinnedShingleJaccard(pairs: Seq[(Long, Long)], k: Int, dp: Int): String = {
+    val vals = pairs.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, GREATEST(LENGTH(norm) - ${k - 1}, 0) + 1),
+           i -> norm[i : i + ${k - 1}])) AS sh
+  FROM (SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm FROM documents) z
+  WHERE LENGTH(norm) >= $k),
+pins(a, b) AS (VALUES $vals)
+SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+       ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
+         len(list_distinct(list_concat(da.sh, db.sh))), $dp) AS jaccard
+FROM pins p JOIN d da ON da.id = p.a JOIN d db ON db.id = p.b"""
+  }
+
+  /** Pin+verify oracle for ANN top-k (LSH / IVF): (qid, id, rk) membership
+    * is the engine's deterministic output (deterministic hyperplanes /
+    * hash-ordered centroid sample), pinned; DuckDB re-computes every
+    * emitted cosine from the embeddings table.
+    */
+  def pinnedKnn(rows: Seq[(Long, Long, Int)]): String = {
+    val vals = rows.map { case (q, i, r) => s"($q, $i, $r)" }.mkString(", ")
+    s"""
+WITH pins(qid, id, rk) AS (VALUES $vals),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT CAST(p.qid AS BIGINT) AS qid, CAST(p.id AS BIGINT) AS id,
+       ROUND(list_cosine_similarity(c.emb, q.emb), 6) AS cos,
+       CAST(p.rk AS BIGINT) AS rk
+FROM pins p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.id"""
+  }
+
+  /** Pin+verify oracle for embedding-cosine near-dup pairs (same protocol
+    * as `pinnedKnn`).
+    */
+  def pinnedCosinePairs(pairs: Seq[(Long, Long)]): String = {
+    val vals = pairs.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""
+WITH pins(a, b) AS (VALUES $vals),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+       ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos
+FROM pins p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b"""
+  }
+
+  /** Engine outputs pinned for the pin+verify oracles — regenerate with
+    * `tools/gen_pins.py` after any change to the hash kernels, LSH/IVF
+    * parameters, or thresholds (the queries are deterministic functions of
+    * the sf0.01 testdata, independent of partitioning and core count).
+    */
+  object Pins {
+    val d2Simhash: Seq[(Long, Long)] = Seq(
+      (8, 245), (45, 413), (58, 293), (61, 185), (70, 447), (98, 290),
+      (107, 387), (120, 332), (166, 323), (267, 413), (285, 301), (326, 457),
+      (393, 420), (435, 486), (458, 462)).map { case (a, b) => (a.toLong, b.toLong) }
+
+    val m2Lsh: Seq[(Long, Long, Int)] = Seq(
+      (0, 257, 1), (0, 270, 2), (0, 130, 3), (0, 266, 4), (0, 351, 5),
+      (1, 210, 1), (1, 129, 2), (1, 242, 3), (1, 466, 4), (1, 367, 5),
+      (2, 198, 1), (2, 307, 2), (2, 327, 3), (2, 209, 4), (2, 351, 5),
+      (3, 437, 1), (3, 428, 2), (3, 403, 3), (3, 457, 4), (3, 350, 5),
+      (4, 280, 1), (4, 237, 2), (4, 139, 3), (4, 419, 4), (4, 99, 5),
+      (5, 419, 1), (5, 379, 2), (5, 46, 3), (5, 24, 4), (5, 451, 5),
+      (6, 260, 1), (6, 78, 2), (6, 179, 3), (6, 404, 4), (6, 443, 5),
+      (7, 86, 1), (7, 137, 2), (7, 108, 3), (7, 275, 4), (7, 362, 5),
+      (8, 102, 1), (8, 44, 2), (8, 379, 3), (8, 225, 4), (8, 472, 5),
+      (9, 414, 1), (9, 449, 2), (9, 427, 3), (9, 253, 4), (9, 399, 5))
+      .map { case (q, i, r) => (q.toLong, i.toLong, r) }
+
+    val m4Ivf: Seq[(Long, Long, Int)] = Seq(
+      (0, 365, 1), (0, 387, 2), (0, 423, 3), (0, 73, 4), (0, 320, 5),
+      (1, 386, 1), (1, 27, 2), (1, 407, 3), (1, 195, 4), (1, 64, 5),
+      (2, 117, 1), (2, 450, 2), (2, 145, 3), (2, 320, 4), (2, 418, 5),
+      (3, 130, 1), (3, 149, 2), (3, 343, 3), (3, 174, 4), (3, 231, 5),
+      (4, 114, 1), (4, 496, 2), (4, 482, 3), (4, 280, 4), (4, 249, 5),
+      (5, 419, 1), (5, 359, 2), (5, 316, 3), (5, 225, 4), (5, 453, 5),
+      (6, 252, 1), (6, 270, 2), (6, 403, 3), (6, 271, 4), (6, 381, 5),
+      (7, 340, 1), (7, 425, 2), (7, 209, 3), (7, 334, 4), (7, 445, 5),
+      (8, 497, 1), (8, 173, 2), (8, 207, 3), (8, 321, 4), (8, 326, 5),
+      (9, 49, 1), (9, 489, 2), (9, 414, 3), (9, 198, 4), (9, 259, 5))
+      .map { case (q, i, r) => (q.toLong, i.toLong, r) }
+
+    val m3Cosine: Seq[(Long, Long)] = Seq(
+      (24, 298), (32, 200), (35, 351), (44, 301), (70, 210), (75, 256),
+      (84, 190), (131, 456), (150, 152), (159, 202), (183, 399), (191, 431),
+      (197, 318), (198, 468), (207, 326), (234, 384), (238, 287), (290, 325),
+      (325, 331), (334, 382), (335, 439), (350, 395), (350, 479), (387, 388))
+      .map { case (a, b) => (a.toLong, b.toLong) }
+  }
+
   val knn: String = """
 SELECT qid, id, cos, rk FROM (
   SELECT q.vec_id AS qid, c.vec_id AS id,

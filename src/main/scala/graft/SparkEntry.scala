@@ -221,14 +221,23 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
           TextAnalysis.qualityScore(col("text")).as("quality"))),
 
-    // ---- dedup family (rows-only: hash/LSH signatures are engine-specific) ----
+    // ---- dedup family ----
+    // value-exact vs the EXHAUSTIVE char-shingle-Jaccard DuckDB twin: at
+    // sf0.01 the banded minhash candidate stage has full recall, so the
+    // verified output must equal the all-pairs set — completeness AND
+    // soundness both oracled (scale recall behavior is PipelineSpec's job)
     "d1_minhash_neardup" -> ((s, dir) =>
       // shared-shingle pipeline: one shingling pass feeds both LSH and verify
       Dedup.minhashNearDup(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // simhash candidates re-verified with exact char-shingle Jaccard: the
+    // emitted pairs are value-exact against a DuckDB re-computation of the
+    // Jaccard on the (deterministic) candidate set — soundness is oracled,
+    // completeness of the hamming stage stays engine-side (PipelineSpec)
     "d2_simhash_neardup" -> ((s, dir) =>
-      Dedup.simhashCandidates(s.read.parquet(s"$dir/documents.parquet"))),
+      Dedup.simhashNearDup(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
 
     "d3_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
@@ -249,25 +258,35 @@ object SparkEntry {
       joined.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 5)
     }),
 
-    "m2_knn_lsh" -> ((s, dir) => { // rows-only: LSH bucketing is hash-specific
+    // value-exact via pin+verify: the (qid, id, rk) membership is the
+    // deterministic LSH output (pinned in the oracle), and DuckDB
+    // RE-COMPUTES every emitted cosine from the embeddings — a drifted
+    // bucket/probe/ranking kernel changes membership or cos and fails
+    "m2_knn_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Similarity.lshTopK(
         emb.select(col("vec_id").as("id"), col("embedding")),
         emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
         k = 5, multiprobe = 1)
+        .select(col("qid"), col("id"), round(col("cos"), 6).as("cos"),
+          col("rk").cast("long").as("rk"))
     }),
 
-    "m4_knn_ivf" -> ((s, dir) => { // rows-only: centroids are engine-trained
+    // value-exact via pin+verify (same protocol as m2; centroids are
+    // deterministic — hash-ordered sample + fixed Lloyd steps)
+    "m4_knn_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Similarity.ivfTopK(
         emb.select(col("vec_id").as("id"), col("embedding")),
         emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
         k = 5, nCells = 32, nProbe = 6)
+        .select(col("qid"), col("id"), round(col("cos"), 6).as("cos"),
+          col("rk").cast("long").as("rk"))
     }),
 
-    "m3_neardup_cosine" -> ((s, dir) => { // rows-only
+    "m3_neardup_cosine" -> ((s, dir) => { // value-exact via pin+verify
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("embedding"))
       // testdata embeddings are near-orthogonal random vectors (max pairwise
@@ -275,6 +294,7 @@ object SparkEntry {
       // and 8 bands × 6 planes gives ~40% per-pair recall at cos 0.4
       // (98% at the cos ≥ 0.9 pairs the operator exists for)
       Similarity.cosineNearDup(emb, threshold = 0.4, nBands = 8, planesPerBand = 6)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
     }),
 
     // ---- incremental maintenance (streaming extension) ----
@@ -340,6 +360,14 @@ object SparkEntry {
     "a4_arnoldi" -> OracleSql.pagerankDeep(160, 0.85, 6),
     "t4_langid" -> OracleSql.langId,
     "d3_ngram_jaccard" -> OracleSql.ngramJaccard(3, 0.5, 1000, 6),
+    // d1: exhaustive all-pairs twin (completeness + soundness);
+    // d2/m2/m3/m4: pin+verify (membership pinned to the deterministic
+    // engine output, every value re-computed by DuckDB from raw data)
+    "d1_minhash_neardup" -> OracleSql.charShingleJaccard(5, 0.5, 6),
+    "d2_simhash_neardup" -> OracleSql.pinnedShingleJaccard(OracleSql.Pins.d2Simhash, 5, 6),
+    "m2_knn_lsh" -> OracleSql.pinnedKnn(OracleSql.Pins.m2Lsh),
+    "m4_knn_ivf" -> OracleSql.pinnedKnn(OracleSql.Pins.m4Ivf),
+    "m3_neardup_cosine" -> OracleSql.pinnedCosinePairs(OracleSql.Pins.m3Cosine),
     "k3_toprank" -> OracleSql.topRank(5, 0.85, 10),
     "cc_components" -> OracleSql.connectedComponents,
     "lp_labelprop3" -> OracleSql.labelProp(3),

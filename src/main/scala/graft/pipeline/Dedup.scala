@@ -186,6 +186,26 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-duplicate pairs with exact verification: hamming-≤-maxHamming
+    * candidate pairs (pigeonhole-bucketed, `simhashCandidates`) re-scored with
+    * EXACT char-shingle Jaccard, keeping pairs ≥ threshold. This is the
+    * pipeline shape a dedup run actually ships — a cheap engine-specific
+    * candidate stage whose every emitted pair is certified by an
+    * engine-independent similarity (and therefore DuckDB-verifiable:
+    * completeness stays a property of the simhash stage, soundness of the
+    * output is exact Jaccard).
+    */
+  def simhashNearDup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3, shingleK: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val cand = simhashCandidates(df, idCol, textCol, maxHamming)
+      .select(col("a"), col("b"))
+    val sh = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+    jaccardOnPairs(cand, sh, threshold)
+  }
+
   /** Word n-gram Jaccard similarity for candidate pairs sharing at least one
     * n-gram of document frequency ≤ `maxDf` (the df cap is the scale guard:
     * without it, one n-gram shared by 10⁶ documents makes 10¹² candidate
