@@ -64,6 +64,11 @@ object Bench {
     val g = GraphOps.fromTranscripts(turns, denseIds = false)
     g.edges.count() // materialize outside the timed window (≙ script mode's
                     // normalize-once, ppagerank_main.cc:408-467)
+    timedRun(g, tol, maxIter)
+  }
+
+  private def timedRun(g: graft.graph.LinkGraph, tol: Double,
+      maxIter: Int): (Long, Int, Double, Double, Double) = {
     val t0 = System.nanoTime()
     val (_, stats) = PageRank.run(g, PageRankConfig(tol = tol, maxIter = maxIter))
     val sec = (System.nanoTime() - t0) / 1e9
@@ -71,6 +76,38 @@ object Bench {
     val steady = if (walls.size > 4) walls.drop(2) else walls // skip warmup
     (g.numEdges, stats.iterations, sec,
       median(steady) / 1000.0, best(steady) / 1000.0)
+  }
+
+  /** The scaling probe's input is built ONCE and persisted as a durable
+    * EdgeStore; every (threads × repeat) sample reads the SAME stored edges
+    * — literally the same input at every parallelism level (the driver's
+    * two-cluster-size protocol), and the per-sample cost drops from a full
+    * transcript-generation + normalization to a bucketed parquet read,
+    * which is what makes enough interleaved repeats affordable to ride out
+    * the VM's CPU-steal weather.
+    */
+  private def buildScaleStore(nConv: Long, cpus: Int): String = {
+    val dir = sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark") +
+      s"/scale_store_$nConv"
+    val s = session(cpus)
+    val turns = TranscriptGen.generate(s, nConv)
+    val g = GraphOps.fromTranscripts(turns, denseIds = false)
+    graft.ingest.EdgeStore.write(g, dir, buckets = 64)
+    s.stop()
+    dir
+  }
+
+  /** One scaling sample: fresh session at `threads`, graph from the shared
+    * store (EdgeStore.read restores src-partitioning at this level's
+    * partition count), fixed-work probe.
+    */
+  private def scaleSample(threads: Int, store: String,
+      probeIters: Int): (Int, Long, Double, Double) = {
+    val s = session(threads)
+    val g = graft.ingest.EdgeStore.read(s, store)
+    val (edges, _, _, med, bst) = timedRun(g, tol = 0.0, maxIter = probeIters)
+    s.stop()
+    (threads, edges, med, bst)
   }
 
   private final case class Level(threads: Int, edges: Long,
@@ -99,7 +136,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nConv = sys.env.getOrElse("GRAFT_BENCH_NCONV", "10000000").toLong
     val probeIters = sys.env.getOrElse("GRAFT_BENCH_PROBE_ITERS", "12").toInt
-    val scaleConv = sys.env.getOrElse("GRAFT_BENCH_SCALE_NCONV", "3000000").toLong
+    // 6M conversations (~9M edges): sized so the ~0.3s per-iteration serial
+    // floor (stage barriers + persist pass + planning) is a small fraction
+    // of even the fast level's iteration — at 3M the floor alone costs the
+    // 2→8 pair ~6 points of efficiency that a real cluster-scale job
+    // (hours of SpMV per iteration) never pays
+    val scaleConv = sys.env.getOrElse("GRAFT_BENCH_SCALE_NCONV", "6000000").toLong
     // Scaling levels: base (2), 4·base (8), and full width (cpus). The
     // 2→8 pair is the cluster-faithful one — both levels get genuinely
     // dedicated cores, modeling executor scaling. The (cpus/4)→cpus pair
@@ -119,15 +161,30 @@ object Bench {
     // taking each level's best decorrelates "which level" from "when the VM
     // was noisy" — a single sequential sweep can hand one level all the
     // steal and fabricate an arbitrary efficiency in either direction.
-    val repeats = sys.env.getOrElse("GRAFT_BENCH_SCALE_REPEATS", "2").toInt
-    val samples = (1 to repeats).flatMap { _ =>
-      levelThreads.map { t =>
-        val s = session(t)
-        val (scaleEdges, _, _, med, bst) =
-          pagerankRun(s, scaleConv, tol = 0.0, maxIter = probeIters)
-        s.stop()
-        (t, scaleEdges, med, bst)
-      }
+    val repeats = sys.env.getOrElse("GRAFT_BENCH_SCALE_REPEATS", "3").toInt
+    val store = buildScaleStore(scaleConv, cpus)
+    val samples = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    for (_ <- 1 to repeats; t <- levelThreads)
+      samples += scaleSample(t, store, probeIters)
+    // Steal-aware corroboration: a level's best is only trusted once a
+    // SECOND time-separated sample lands within 25% of it — if every sample
+    // of a level fell inside one steal front, its "best" is inflated and
+    // the efficiency ratio is fiction in either direction. Uncorroborated
+    // levels are re-measured (bounded), newest samples included in best-of.
+    val maxRetries = sys.env.getOrElse("GRAFT_BENCH_SCALE_RETRIES", "4").toInt
+    var retries = 0
+    var needy = Seq.empty[Int]
+    def uncorroborated(): Seq[Int] = levelThreads.filter { t =>
+      val bests = samples.filter(_._1 == t).map(_._4)
+      bests.count(_ <= bests.min * 1.25) < 2
+    }
+    needy = uncorroborated()
+    while (needy.nonEmpty && retries < maxRetries) {
+      System.err.println(s"[bench] level ${needy.head} best uncorroborated " +
+        s"(possible CPU-steal front) — re-measuring")
+      samples += scaleSample(needy.head, store, probeIters)
+      retries += 1
+      needy = uncorroborated()
     }
     val levels = levelThreads.map { t =>
       val mine = samples.filter(_._1 == t)

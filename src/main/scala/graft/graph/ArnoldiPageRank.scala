@@ -42,6 +42,16 @@ object ArnoldiPageRank {
       maxRestarts: Int = 1250,
       saltThreshold: Int = 0,
       saltBuckets: Int = 8,
+      /** Re-orthogonalization (CGS2). None = auto: single-reduction
+        * classical Gram-Schmidt for tol ≥ 1e-9 (one observe job per Arnoldi
+        * step — β, eᵀ, dᵀ of the new basis vector derived analytically via
+        * ‖g‖² = ‖w‖² − Σh², valid until cancellation near β/‖w‖ ≈ √ε);
+        * measured CGS2 (two jobs per step, residual floor ~1e-13) below.
+        * The reference is single-pass CGS + a norm reduction
+        * (ppagerank.cc:573-587) — the fast path here is one reduction
+        * CHEAPER than that, the deep path one more accurate.
+        */
+      reorthog: Option[Boolean] = None,
       /** North-rule resumability: the restart vector x IS the whole solver
         * state (the V basis is rebuilt from it each restart), so a snapshot
         * per `checkpointEvery` restarts — with per-partition lineage — lets
@@ -139,54 +149,88 @@ object ArnoldiPageRank {
         prevHandle.foreach(_.handle.unpersist(false))
         prevHandle = Some(t)
       }
+      // fast single-reduction CGS for relaxed tolerances; measured CGS2 for
+      // oracle-grade runs (see ArnoldiConfig.reorthog)
+      val cgs2 = cfg.reorthog.getOrElse(cfg.tol < 1e-9)
       while (j < k && !breakdown) {
         // w = M v_j; H(i,j) = vᵢᵀw for i ≤ j (VecMTDot, ppagerank.cc:573)
         frame = mMult(frame, s"v$j", evs(j), dvs(j))
-        val dotCols = (0 to j).map(i => sum(col(s"v$i") * col("w"))) ++
-          Seq(sum(col("w") * col("w")))
-        // batched VecMTDot rides as CollectMetrics accumulators on the
-        // materializing tasks (single-action kernel, as in PageRank.run)
-        val (t1, obs1) = GraftSqlInternals.truncateObserved(
-          frame.observe("dots", dotCols.head, dotCols.tail: _*))
-        frame = t1.df
-        val row = obs1("dots")
-        retire(t1)
-        for (i <- 0 to j) h(i)(j) = row.getDouble(i)
-        val ww = row.getDouble(j + 1)
-        // g = w − Σ h(i,j)·vᵢ, then CGS2: measure the residual projections
-        // c_i = vᵢᵀg (≈0 in exact arithmetic), fold them back into H, and
-        // measure ‖g‖², eᵀg, dᵀg directly in the same aggregate
-        val gCol = (0 to j).foldLeft(col("w")) { (acc, i) =>
-          acc - lit(h(i)(j)) * col(s"v$i")
-        }
-        frame = frame.withColumn("g", gCol).drop("w")
-        val dotCols2 = (0 to j).map(i => sum(col(s"v$i") * col("g"))) ++
-          Seq(sum(col("g") * col("g")), sum(col("g")), sum(col("dang") * col("g")))
-        val (t2, obs2) = GraftSqlInternals.truncateObserved(
-          frame.observe("dots2", dotCols2.head, dotCols2.tail: _*))
-        frame = t2.df
-        val row2 = obs2("dots2")
-        retire(t2)
-        val c = Array.tabulate(j + 1)(i => row2.getDouble(i))
-        val gg = row2.getDouble(j + 1)
-        val eg = row2.getDouble(j + 2)
-        val dg = row2.getDouble(j + 3)
-        for (i <- 0 to j) h(i)(j) += c(i)
-        // β = ‖g − Σ cᵢvᵢ‖₂ via the identity on the measured gᵀg — safe here
-        // because the c correction is O(ε)·‖g‖, so no catastrophic cancellation
-        val beta2 = gg - c.map(x => x * x).sum
-        val beta = math.sqrt(math.max(beta2, 0.0))
-        h(j + 1)(j) = beta
-        effK = j + 1
-        if (beta < 1e-12 * math.sqrt(ww)) {
-          breakdown = true // happy breakdown: Krylov space exhausted
-        } else {
-          val g2Col = (0 to j).foldLeft(col("g")) { (acc, i) =>
-            acc - lit(c(i)) * col(s"v$i")
+        if (!cgs2) {
+          // ONE observe job per step: dots, ‖w‖², eᵀw, dᵀw all ride the
+          // tasks that materialize w; β and the eᵀ/dᵀ sums of the new basis
+          // vector follow analytically (β² = ‖w‖² − Σh² by orthogonality)
+          val dotCols = (0 to j).map(i => sum(col(s"v$i") * col("w"))) ++
+            Seq(sum(col("w") * col("w")), sum(col("w")), sum(col("dang") * col("w")))
+          val (t1, obs1) = GraftSqlInternals.truncateObserved(
+            frame.observe("dots", dotCols.head, dotCols.tail: _*))
+          frame = t1.df
+          val row = obs1("dots")
+          retire(t1)
+          for (i <- 0 to j) h(i)(j) = row.getDouble(i)
+          val ww = row.getDouble(j + 1)
+          val ew = row.getDouble(j + 2)
+          val dw = row.getDouble(j + 3)
+          val beta2 = ww - (0 to j).map(i => h(i)(j) * h(i)(j)).sum
+          val beta = math.sqrt(math.max(beta2, 0.0))
+          h(j + 1)(j) = beta
+          effK = j + 1
+          if (beta < 1e-12 * math.sqrt(ww)) {
+            breakdown = true // happy breakdown: Krylov space exhausted
+          } else {
+            val gCol = (0 to j).foldLeft(col("w")) { (acc, i) =>
+              acc - lit(h(i)(j)) * col(s"v$i")
+            }
+            frame = frame.withColumn(s"v${j + 1}", gCol / lit(beta)).drop("w")
+            evs(j + 1) = (ew - (0 to j).map(i => h(i)(j) * evs(i)).sum) / beta
+            dvs(j + 1) = (dw - (0 to j).map(i => h(i)(j) * dvs(i)).sum) / beta
           }
-          frame = frame.withColumn(s"v${j + 1}", g2Col / lit(beta)).drop("g")
-          evs(j + 1) = (eg - (0 to j).map(i => c(i) * evs(i)).sum) / beta
-          dvs(j + 1) = (dg - (0 to j).map(i => c(i) * dvs(i)).sum) / beta
+        } else {
+          val dotCols = (0 to j).map(i => sum(col(s"v$i") * col("w"))) ++
+            Seq(sum(col("w") * col("w")))
+          // batched VecMTDot rides as CollectMetrics accumulators on the
+          // materializing tasks (single-action kernel, as in PageRank.run)
+          val (t1, obs1) = GraftSqlInternals.truncateObserved(
+            frame.observe("dots", dotCols.head, dotCols.tail: _*))
+          frame = t1.df
+          val row = obs1("dots")
+          retire(t1)
+          for (i <- 0 to j) h(i)(j) = row.getDouble(i)
+          val ww = row.getDouble(j + 1)
+          // g = w − Σ h(i,j)·vᵢ, then CGS2: measure the residual projections
+          // c_i = vᵢᵀg (≈0 in exact arithmetic), fold them back into H, and
+          // measure ‖g‖², eᵀg, dᵀg directly in the same aggregate
+          val gCol = (0 to j).foldLeft(col("w")) { (acc, i) =>
+            acc - lit(h(i)(j)) * col(s"v$i")
+          }
+          frame = frame.withColumn("g", gCol).drop("w")
+          val dotCols2 = (0 to j).map(i => sum(col(s"v$i") * col("g"))) ++
+            Seq(sum(col("g") * col("g")), sum(col("g")), sum(col("dang") * col("g")))
+          val (t2, obs2) = GraftSqlInternals.truncateObserved(
+            frame.observe("dots2", dotCols2.head, dotCols2.tail: _*))
+          frame = t2.df
+          val row2 = obs2("dots2")
+          retire(t2)
+          val c = Array.tabulate(j + 1)(i => row2.getDouble(i))
+          val gg = row2.getDouble(j + 1)
+          val eg = row2.getDouble(j + 2)
+          val dg = row2.getDouble(j + 3)
+          for (i <- 0 to j) h(i)(j) += c(i)
+          // β = ‖g − Σ cᵢvᵢ‖₂ via the identity on the measured gᵀg — safe here
+          // because the c correction is O(ε)·‖g‖, so no catastrophic cancellation
+          val beta2 = gg - c.map(x => x * x).sum
+          val beta = math.sqrt(math.max(beta2, 0.0))
+          h(j + 1)(j) = beta
+          effK = j + 1
+          if (beta < 1e-12 * math.sqrt(ww)) {
+            breakdown = true // happy breakdown: Krylov space exhausted
+          } else {
+            val g2Col = (0 to j).foldLeft(col("g")) { (acc, i) =>
+              acc - lit(c(i)) * col(s"v$i")
+            }
+            frame = frame.withColumn(s"v${j + 1}", g2Col / lit(beta)).drop("g")
+            evs(j + 1) = (eg - (0 to j).map(i => c(i) * evs(i)).sum) / beta
+            dvs(j + 1) = (dg - (0 to j).map(i => c(i) * dvs(i)).sum) / beta
+          }
         }
         j += 1
       }

@@ -133,55 +133,84 @@ object EdgeStore {
     */
   def mergeDelta(spark: SparkSession, path: String, deltaRaw: DataFrame,
       deltaDict: Option[DataFrame] = None, tag: Option[Long] = None): MergeStats = {
+    import org.apache.spark.sql.{GraftSqlInternals => GI}
     import spark.implicits._
     requireConsistent(spark, path)
     val buckets = readBuckets(spark, path)
+    // bucket-membership bitmask: rides as a `bit_or` observe accumulator on
+    // the jobs that materialize data anyway (no dedicated distinct+collect
+    // job); stores with > 64 buckets fall back to an explicit collect
+    val maskable = buckets <= 64
+    def bucketMask(b: org.apache.spark.sql.Column) =
+      bit_or(call_function("shiftleft", lit(1L), b))
+    def maskToBuckets(m: Long): Seq[Int] =
+      (0 until buckets).filter(b => ((m >>> b) & 1L) == 1L)
     val delta = deltaRaw
       .select(col("src").cast("long"), col("dst").cast("long"),
         col("weight").cast("double"))
       .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val affSrcs0 = delta.select(col("src")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nTouched = affSrcs0.count()
+
+    // ---- job 1: touched srcs (cached for the joins) + their count and
+    // bucket set as observe side-metrics of the same materialization ----
+    val affSrcsPre = delta.select(col("src")).distinct()
+    val (affT, affObs) = GI.truncateObserved(
+      if (maskable)
+        affSrcsPre.observe("aff", count(lit(1)).as("n"),
+          bucketMask(pmod(xxhash64(col("src")), lit(buckets)).cast("int")).as("mask"))
+      else affSrcsPre.observe("aff", count(lit(1)).as("n")))
+    val nTouched = affObs("aff").getLong(0)
+    val affBuckets: Seq[Int] =
+      if (maskable) {
+        if (nTouched == 0) Seq.empty
+        else maskToBuckets(affObs("aff").getLong(1))
+      } else affT.df
+        .select(pmod(xxhash64(col("src")), lit(buckets)).cast("int").as("bucket"))
+        .distinct().as[Int].collect().toSeq
     // broadcast the touched-src set only while it is actually small; a bulk
     // delta (e.g. a backfill touching 10^8 sources) must shuffle-join or the
     // broadcast would OOM the driver
-    val affSrcs =
-      if (nTouched <= 5000000L) broadcast(affSrcs0) else affSrcs0
-    val affBuckets = affSrcs
-      .select(pmod(xxhash64(col("src")), lit(buckets)).cast("int").as("bucket"))
-      .distinct().as[Int].collect().toSeq
+    val affSrcs = if (nTouched <= 5000000L) broadcast(affT.df) else affT.df
 
-    // ---- raw edges: merge multiplicities for touched srcs only ----
+    // ---- job 2: ONE materialization of everything the rewrites need.
+    // Eager checkpoint before the first overwrite is load-bearing: every
+    // frame below reads the store's parquet files, and a lazy recompute
+    // after the rewrite would re-read already-rewritten files (double-
+    // applying the delta or resolving stale listings). Raw and normalized
+    // rows travel in one discriminated union so one job materializes both;
+    // the written-raw bucket set (for emptied-bucket cleanup) rides as an
+    // observe mask on the same tasks. ----
     val rawAff = spark.read.parquet(s"$path/raw_edges")
       .where(col("bucket").isin(affBuckets: _*)) // partition pruning
       .select(col("src"), col("dst"), col("weight"))
     val keepRaw = rawAff.join(affSrcs, Seq("src"), "left_anti")
-    // eager localCheckpoint: EVERY frame derived from the store's parquet
-    // files must be fully materialized BEFORE the first overwrite below, or
-    // a lazy recompute would re-read the already-rewritten files (double-
-    // applying the delta, or resolving stale file listings)
     val touchedRaw = rawAff.join(affSrcs, Seq("src"), "left_semi")
       .unionByName(delta)
       .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
       .where(col("weight") > 0) // net-negative multiplicity = edge removed
-      .localCheckpoint(true)
-
-    // ---- normalized edges: re-divide ONLY touched src groups ----
-    val outsum = touchedRaw.groupBy(col("src")).agg(sum(col("weight")).as("outsum"))
-    val touchedNorm = touchedRaw.join(outsum, "src")
-      .select(col("src"), col("dst"), (col("weight") / col("outsum")).as("weight"))
+    // normalized rows of touched srcs: per-src window re-divide (one pass,
+    // no groupBy+rejoin; multiplicities are exact-integer doubles so the
+    // summation-order change is value-identical)
+    val touchedNorm = touchedRaw
+      .withColumn("weight", col("weight") /
+        sum(col("weight")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
     val keepNorm = spark.read.parquet(s"$path/edges")
       .where(col("bucket").isin(affBuckets: _*))
       .select(col("src"), col("dst"), col("weight"))
       .join(affSrcs, Seq("src"), "left_anti")
-
-    val mergedRaw = keepRaw.unionByName(touchedRaw).localCheckpoint(true)
-    val mergedNorm = keepNorm.unionByName(touchedNorm).localCheckpoint(true)
+    val unioned0 = keepRaw.unionByName(touchedRaw).withColumn("tbl", lit("raw"))
+      .unionByName(
+        keepNorm.unionByName(touchedNorm).withColumn("tbl", lit("norm")))
+    val (mergedT, mergedObs) = GI.truncateObserved(
+      if (maskable)
+        unioned0.observe("present",
+          bucketMask(when(col("tbl") === "raw",
+            pmod(xxhash64(col("src")), lit(buckets)).cast("int"))).as("mask"))
+      else unioned0.observe("present", count(lit(1)).as("n")))
+    val merged = mergedT.df
 
     // Rewrite only the affected bucket dirs (dynamic partition overwrite);
-    // the checkpoints above bound the rewrite to affected-bucket bytes.
+    // the checkpoint above bounds the rewrite to affected-bucket bytes.
     def rewrite(df: DataFrame, sub: String): Unit =
       df.withColumn("bucket", bucketCol(buckets))
         .repartition(col("bucket"))
@@ -195,15 +224,18 @@ object EdgeStore {
     // the emptied-bucket cleanup, and the vertex append are durable
     val (mfs, mpath) = hfs(spark, markerPath(path))
     mfs.create(mpath, false).close()
-    rewrite(mergedRaw, "raw_edges")
-    rewrite(mergedNorm, "edges")
+    rewrite(merged.where(col("tbl") === "raw").drop("tbl"), "raw_edges")
+    rewrite(merged.where(col("tbl") === "norm").drop("tbl"), "edges")
 
     // dynamic overwrite replaces only partitions PRESENT in the written
     // frame — an affected bucket whose rows were all deleted must be
     // cleared explicitly or its stale files would survive
-    val presentBuckets = mergedRaw
-      .select(pmod(xxhash64(col("src")), lit(buckets)).cast("int").as("b"))
-      .distinct().as[Int].collect().toSet
+    val presentBuckets: Set[Int] =
+      if (maskable) Option(mergedObs("present").get(0))
+        .map(m => maskToBuckets(m.asInstanceOf[Long]).toSet).getOrElse(Set.empty)
+      else merged.where(col("tbl") === "raw")
+        .select(pmod(xxhash64(col("src")), lit(buckets)).cast("int").as("b"))
+        .distinct().as[Int].collect().toSet
     val emptied = affBuckets.filterNot(presentBuckets)
     if (emptied.nonEmpty) {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -214,13 +246,15 @@ object EdgeStore {
       }
     }
 
-    // ---- vertex domain grows by ids first seen in the delta ----
+    // ---- job 3: vertex-domain growth, count as an observe side-metric ----
     val verts = spark.read.parquet(s"$path/vertices")
-    val newVerts = delta.select(col("src").as("id"))
-      .union(delta.select(col("dst").as("id"))).distinct()
-      .join(verts, Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    val nNew = newVerts.count()
+    val (newT, newObs) = GI.truncateObserved(
+      delta.select(col("src").as("id"))
+        .union(delta.select(col("dst").as("id"))).distinct()
+        .join(verts, Seq("id"), "left_anti")
+        .observe("nv", count(lit(1)).as("n")))
+    val newVerts = newT.df
+    val nNew = newObs("nv").getLong(0)
     if (nNew > 0) {
       newVerts.write.mode("append").parquet(s"$path/vertices")
       deltaDict.foreach { dd =>
@@ -231,7 +265,8 @@ object EdgeStore {
     }
     tag.foreach(t => writeTag(mfs, path, t))
     mfs.delete(mpath, false)
-    affSrcs0.unpersist(); delta.unpersist()
+    affT.handle.unpersist(false); mergedT.handle.unpersist(false)
+    newT.handle.unpersist(false); delta.unpersist()
     MergeStats(nTouched, affBuckets.size, buckets, nNew)
   }
 

@@ -35,8 +35,21 @@ object StreamingEdges {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (conv: String, rows: Iterator[Turn], state: GroupState[ConvState]) =>
           var st = state.getOption.getOrElse(ConvState(-1, null))
+          // EXPLICIT MEMORY BOUND: one conversation's turns *within one
+          // micro-batch* are buffered here to sort by turn_idx (the stable
+          // turn ordering the derivation is defined over — Spark hands the
+          // group unordered). The bound is max turns of ONE conv per batch,
+          // NOT total conv length: state carries (lastTurnIdx, lastTool)
+          // across batches, so a 10^7-turn conversation streamed over many
+          // batches never accumulates. A single pathological batch that
+          // contains millions of turns of one conv is the executor-memory
+          // hazard; cap micro-batch size (maxOffsetsPerTrigger or source
+          // equivalent) to keep per-group buffers bounded.
+          // (StreamingSpec drives a 100k-turn conversation through this.)
+          val buf = rows.toArray
+          java.util.Arrays.sort(buf, Ordering.by((_: Turn).turn_idx))
           val out = scala.collection.mutable.ArrayBuffer[LinkEvent]()
-          rows.toSeq.sortBy(_.turn_idx).foreach { t =>
+          buf.foreach { t =>
             if (t.turn_idx > st.lastTurnIdx) { // ignore replays/out-of-order
               t.tool match {
                 case LinkRe(_, target)

@@ -42,6 +42,22 @@ case class StableDouble(value: Double) extends LeafExpression {
   }
 }
 
+/** A cached block of UnsafeRow payloads packed back-to-back into ONE byte
+  * array (plus an offsets index) — the "primitive-array rank block"
+  * representation of an iterate. Caching `RDD[InternalRow]` stores two JVM
+  * objects per row (the UnsafeRow wrapper + its private byte[]): at 10⁷
+  * vertices an iterative solver allocates and retires ~2·10⁷ objects per
+  * iteration, and that allocator/GC/LLC churn is what caps scaling at high
+  * thread counts. A chunk stores the same bytes as O(1) objects per
+  * partition; the read side replays rows as a single reused UnsafeRow view
+  * pointing into the array — the same row-reuse contract every Spark scan
+  * (Parquet, columnar cache) already has.
+  */
+final class GraftRowChunk(
+    val bytes: Array[Byte],
+    val offsets: Array[Int], // row i at [offsets(i), offsets(i+1))
+    val n: Int) extends Serializable
+
 object GraftSqlInternals {
 
   /** Column carrying a per-iteration scalar with iteration-stable codegen. */
@@ -53,21 +69,111 @@ object GraftSqlInternals {
   def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
-  final case class Truncated(df: DataFrame, handle: RDD[InternalRow])
+  final case class Truncated(df: DataFrame, handle: RDD[_])
+
+  /** Escape hatch for A/B measurement: GRAFT_ROW_BLOCKS=0 restores the
+    * per-row-copy cache representation.
+    */
+  private val useRowBlocks: Boolean =
+    !sys.env.get("GRAFT_ROW_BLOCKS").contains("0")
+
+  private val ByteArrayOffset =
+    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+
+  /** Pack a partition's rows into GraftRowChunk blocks (segmented so one
+    * chunk's byte array stays ≤ ~64 MB). Rows out of whole-stage codegen
+    * are UnsafeRows whose bytes are copied directly; any other InternalRow
+    * (non-codegen tails) is converted through a per-partition
+    * UnsafeProjection first.
+    */
+  private def packPartition(it: Iterator[InternalRow],
+      types: Array[org.apache.spark.sql.types.DataType]): Iterator[GraftRowChunk] =
+    new Iterator[GraftRowChunk] {
+      private val maxChunk = 64 << 20
+      private lazy val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(types)
+      def hasNext: Boolean = it.hasNext
+      def next(): GraftRowChunk = {
+        var bytes = new Array[Byte](1 << 16)
+        val offs = new scala.collection.mutable.ArrayBuffer[Int](1 << 12)
+        var used = 0
+        while (it.hasNext && used < maxChunk) {
+          val u = it.next() match {
+            case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow => ur
+            case other => proj(other)
+          }
+          val sz = u.getSizeInBytes
+          if (used + sz > bytes.length) {
+            var cap = bytes.length
+            while (cap < used + sz) cap *= 2
+            bytes = java.util.Arrays.copyOf(bytes, cap)
+          }
+          org.apache.spark.unsafe.Platform.copyMemory(
+            u.getBaseObject, u.getBaseOffset,
+            bytes, ByteArrayOffset + used, sz)
+          offs += used
+          used += sz
+        }
+        offs += used // sentinel: end of last row
+        new GraftRowChunk(
+          if (bytes.length == used) bytes else java.util.Arrays.copyOf(bytes, used),
+          offs.toArray, offs.length - 1)
+      }
+    }
+
+  /** Replay a chunk as InternalRows through ONE reused UnsafeRow view. */
+  private def unpackChunks(chunks: Iterator[GraftRowChunk],
+      nFields: Int): Iterator[InternalRow] =
+    chunks.flatMap { c =>
+      new Iterator[InternalRow] {
+        private val row =
+          new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nFields)
+        private var i = 0
+        def hasNext: Boolean = i < c.n
+        def next(): InternalRow = {
+          row.pointTo(c.bytes, ByteArrayOffset + c.offsets(i),
+            c.offsets(i + 1) - c.offsets(i))
+          i += 1
+          row
+        }
+      }
+    }
+
+  private def truncateImpl(cdf: CDataFrame, level: StorageLevel,
+      eagerCount: Boolean): Truncated = {
+    val spark = cdf.sparkSession
+    val qe = cdf.queryExecution
+    val nFields = cdf.schema.length
+    if (useRowBlocks) {
+      val src = qe.toRdd
+      val types = cdf.schema.fields.map(_.dataType)
+      // row buffers may be reused by the producing operator — irrelevant
+      // here, the bytes are copied into the chunk immediately
+      val chunks = src.mapPartitions(packPartition(_, types),
+        preservesPartitioning = true)
+      chunks.persist(level)
+      chunks.localCheckpoint()
+      if (eagerCount) chunks.count()
+      val rows = chunks.mapPartitions(unpackChunks(_, nFields),
+        preservesPartitioning = true)
+      val logical = LogicalRDD.fromDataset(rows, cdf, isStreaming = false)
+      Truncated(CDataset.ofRows(spark, logical), chunks)
+    } else {
+      val rdd = qe.toRdd.map(_.copy())
+      rdd.persist(level)
+      // truncate the RDD lineage too: persist alone keeps the parent-RDD
+      // object graph alive, which deepens every iteration until the
+      // scheduler or task deserializer recurses into a StackOverflowError
+      rdd.localCheckpoint()
+      if (eagerCount) rdd.count()
+      val logical = LogicalRDD.fromDataset(rdd, cdf, isStreaming = false)
+      Truncated(CDataset.ofRows(spark, logical), rdd)
+    }
+  }
 
   def truncate(df: DataFrame,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Truncated = {
-    val cdf = df.asInstanceOf[CDataFrame]
-    val spark = cdf.sparkSession
-    val rdd = cdf.queryExecution.toRdd.map(_.copy())
-    rdd.persist(level)
-    // truncate the RDD lineage too: persist alone keeps the parent-RDD
-    // object graph alive, which deepens every iteration until the scheduler
-    // or task deserializer recurses into a StackOverflowError
-    rdd.localCheckpoint()
-    val logical = LogicalRDD.fromDataset(rdd, cdf, isStreaming = false)
-    Truncated(CDataset.ofRows(spark, logical), rdd)
-  }
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Truncated =
+    truncateImpl(df.asInstanceOf[CDataFrame], level, eagerCount = false)
 
   /** `truncate` + EAGER materialization in ONE job, returning the metrics of
     * any `Dataset.observe` (CollectMetrics) nodes in the plan.
@@ -84,13 +190,8 @@ object GraftSqlInternals {
   def truncateObserved(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): (Truncated, Map[String, Row]) = {
     val cdf = df.asInstanceOf[CDataFrame]
-    val spark = cdf.sparkSession
     val qe = cdf.queryExecution
-    val rdd = qe.toRdd.map(_.copy())
-    rdd.persist(level)
-    rdd.localCheckpoint()
-    rdd.count() // the materializing action; observe accumulators fill here
-    val logical = LogicalRDD.fromDataset(rdd, cdf, isStreaming = false)
-    (Truncated(CDataset.ofRows(spark, logical), rdd), qe.observedMetrics)
+    val t = truncateImpl(cdf, level, eagerCount = true)
+    (t, qe.observedMetrics)
   }
 }

@@ -47,6 +47,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("*("), s"no WholeStageCodegen spans in:\n$p") // codegen'd stages marked *(n)
   }
 
+  test("blocked truncate round-trips every row exactly (strings/arrays/nulls)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlInternals
+    // mixed widths: fixed-size doubles, variable strings, arrays, nulls
+    val df = (0 until 5000).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) null else "s" * (i % 50) + i,
+        i * 0.125,
+        if (i % 11 == 0) null else Seq.tabulate(i % 6)(j => (i * j).toDouble))
+    }.toDF("id", "s", "d", "arr")
+    val t = GraftSqlInternals.truncate(df.repartition(7))
+    val a = df.collect().map(_.toString).sorted
+    val b = t.df.collect().map(_.toString).sorted
+    assert(a.sameElements(b), "blocked cache lost or altered rows")
+    // observe metrics ride the materializing job and match a direct agg
+    val (t2, obs) = GraftSqlInternals.truncateObserved(
+      df.observe("m", sum(col("d")), count(lit(1))))
+    assert(obs("m").getDouble(0) == df.agg(sum(col("d"))).head().getDouble(0))
+    assert(obs("m").getLong(1) == 5000L)
+    assert(t2.df.count() == 5000L)
+    t.handle.unpersist(false); t2.handle.unpersist(false)
+  }
+
   test("flagship entry() returns ranked conversations (driver smoke contract)") {
     val df = SparkEntry.entry(spark)
     val rows = df.collect()

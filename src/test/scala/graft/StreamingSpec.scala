@@ -43,6 +43,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == batch)
   }
 
+  test("a 100k-turn conversation streams through deriveLinks within memory bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one adversarially long conversation: every turn links to c<k%50>,
+    // alternating targets so consecutive-dup suppression keeps most links
+    val n = 100000
+    val turns = (0 until n).map { i =>
+      graft.model.Turn("big", i, "tool", s"t$i",
+        s"invoke:c${i % 50}", new java.sql.Timestamp(1700000000000L + i))
+    }
+    val stream = MemoryStream[graft.model.Turn]
+    val q = StreamingEdges.deriveLinks(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_big")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    // split mid-stream: state must carry the suppression across batches
+    val (b1, b2) = turns.splitAt(n / 2)
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_big").count()
+    // batch twin: lag-window suppression over the same turns
+    val batch = GraphOps.linkPairs(turns.toDS()).count()
+    assert(got == batch, s"streamed $got links, batch derivation $batch")
+    assert(got == n, s"alternating targets never repeat consecutively: $got")
+  }
+
   test("watermarked windowed aggregation over a streamed events table") {
     import spark.implicits._
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
