@@ -65,11 +65,18 @@ object SparkEntry {
     dst
   }
 
-  /** Untimed setup Bench runs before its per-query timing loop (shared
-    * fixtures that are setup, not operator work — currently the i1 base
-    * store).
+  /** Untimed setup Bench runs before its per-query timing loop — shared
+    * fixtures that are one-time setup, not per-operator work: the memoized
+    * link graph (otherwise whichever graph query happens to run FIRST
+    * absorbs the whole build into its timing — ≙ the reference's
+    * normalize-once script mode, ppagerank_main.cc:408-467) and the i1
+    * base store (pre-exists in production).
     */
-  def benchSetup(s: SparkSession, dir: String): Unit = { i1BaseStore(s, dir); () }
+  def benchSetup(s: SparkSession, dir: String): Unit = {
+    TestdataGraph.linkGraph(s, dir)
+    i1BaseStore(s, dir)
+    ()
+  }
 
   private def pr5(spark: SparkSession, dir: String): DataFrame = {
     val g = TestdataGraph.linkGraph(spark, dir)

@@ -227,6 +227,25 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     all.unpersist()
   }
 
+  test("mergeDelta with >64 buckets (non-bitmask path) equals full rebuild") {
+    val all = rawEdges(300).persist()
+    val late = pmod(col("src") + col("dst"), lit(5)) === 0
+    val base = all.where(!late)
+    val delta = all.where(late)
+    assert(!delta.isEmpty)
+    val store = tmp("inc_bigbuckets")
+    // 128 buckets exceeds the Long bitmask the observe fast path rides on —
+    // exercises the explicit distinct+collect fallback
+    EdgeStore.write(buildGraph(base), store, buckets = 128)
+    val stats = EdgeStore.mergeDelta(spark, store, delta)
+    assert(stats.totalBuckets == 128)
+    assert(edgeMap(spark.read.parquet(s"$store/edges")) ==
+      edgeMap(buildGraph(all).edges.toDF()))
+    assert(edgeMap(spark.read.parquet(s"$store/raw_edges")) ==
+      edgeMap(buildGraph(all).rawEdges.toDF()))
+    all.unpersist()
+  }
+
   test("a re-delivered micro-batch is NOT merged twice (at-least-once idempotency)") {
     val all = rawEdges(100).persist()
     // NOTE mod 5, not 4: the a·i+b edge arithmetic makes src+dst ≡ {1,3,odd}

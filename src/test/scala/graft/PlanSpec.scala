@@ -47,6 +47,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("*("), s"no WholeStageCodegen spans in:\n$p") // codegen'd stages marked *(n)
   }
 
+  test("exact dedup aggregates partially before its exchange (t3)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.pipeline.Dedup.exact(df))
+    // the groupBy+rejoin form: duplicate-heavy groups collapse map-side, so
+    // a partial HashAggregate must sit below the exchange (the old window
+    // form shipped every row's full text unreduced through a sort)
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      s"no partial aggregation in:\n$p")
+    assert(!p.contains("Window"), s"window form regressed:\n$p")
+  }
+
   test("blocked truncate round-trips every row exactly (strings/arrays/nulls)") {
     import spark.implicits._
     import org.apache.spark.sql.GraftSqlInternals
