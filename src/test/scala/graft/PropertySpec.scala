@@ -67,4 +67,47 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       (0 until n).foreach(i => assert(got(i.toLong) == exp(i).toLong, s"seed=$seed vertex $i"))
     }
   }
+
+  for (seed <- 1 to 2) {
+    test(s"property[$seed]: incremental merge (adds + deletes) equals batch rebuild") {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed + 400)
+      val n = 30 + rnd.nextInt(40)
+      def edgeSet(m: Int) = Seq.fill(m) {
+        val s = rnd.nextInt(n)
+        val t0 = (rnd.nextDouble() * rnd.nextDouble() * n).toInt min (n - 1)
+        (s.toLong, (if (t0 == s) (s + 1) % n else t0).toLong,
+          1.0 + rnd.nextInt(3))
+      }
+      val base = edgeSet(4 * n)
+        .groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+      val adds = edgeSet(n)
+      // deletions: negative multiplicity for a random subset of base edges
+      // (some partial, some removing the edge entirely)
+      val dels = rnd.shuffle(base).take(n / 3).map { case (s, d, w) =>
+        (s, d, -(if (rnd.nextBoolean()) w else math.max(1.0, w - 1)))
+      }
+      val baseDf = base.toDF("src", "dst", "weight")
+      val deltaDf = (adds ++ dels).toDF("src", "dst", "weight")
+      def graphOf(raw: org.apache.spark.sql.DataFrame) = {
+        val agg = raw.groupBy(col("src"), col("dst"))
+          .agg(sum(col("weight")).as("weight")).where(col("weight") > 0)
+        val verts = (0 until n).map(_.toLong).toDF("id")
+        graft.graph.GraphOps.normalizeFrom(agg, verts,
+          verts.select(concat(lit("v"), col("id")).as("conv_id"), col("id")))
+      }
+      val store = java.nio.file.Files.createTempDirectory(s"prop-merge$seed").toString
+      graft.ingest.EdgeStore.write(graphOf(baseDf), store, buckets = 8)
+      graft.ingest.EdgeStore.mergeDelta(spark, store, deltaDf)
+      val got = spark.read.parquet(s"$store/edges")
+        .select(col("src"), col("dst"), col("weight")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val exp = graphOf(baseDf.unionByName(deltaDf)).edges.toDF().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got.keySet == exp.keySet, s"seed=$seed edge sets differ")
+      exp.foreach { case (k, w) =>
+        assert(math.abs(got(k) - w) < 1e-12, s"seed=$seed edge $k") }
+    }
+  }
 }
