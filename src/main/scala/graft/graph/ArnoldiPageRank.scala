@@ -42,11 +42,16 @@ object ArnoldiPageRank {
       maxRestarts: Int = 1250,
       saltThreshold: Int = 0,
       saltBuckets: Int = 8,
-      /** Re-orthogonalization (CGS2). None = auto: single-reduction
-        * classical Gram-Schmidt for tol ≥ 1e-9 (one observe job per Arnoldi
-        * step — β, eᵀ, dᵀ of the new basis vector derived analytically via
-        * ‖g‖² = ‖w‖² − Σh², valid until cancellation near β/‖w‖ ≈ √ε);
-        * measured CGS2 (two jobs per step, residual floor ~1e-13) below.
+      /** Re-orthogonalization (CGS2). None = auto: start with
+        * single-reduction classical Gram-Schmidt for tol ≥ 1e-9 (one
+        * observe job per Arnoldi step — β, eᵀ, dᵀ of the new basis vector
+        * derived analytically via ‖g‖² = ‖w‖² − Σh²), ESCALATING to
+        * measured CGS2 (two jobs per step, residual floor ~1e-13) if the
+        * restart residual stagnates: the analytic β cancels catastrophically
+        * once β/‖w‖ nears √ε, and where that floor lands depends on α and
+        * the spectrum (measured: fine at α=0.85/tol 1e-7, stalls at 1.8e-7
+        * for α=0.95), so it cannot be predicted from tol alone.
+        * Some(true/false) pins the mode and disables the auto-escalation.
         * The reference is single-pass CGS + a norm reduction
         * (ppagerank.cc:573-587) — the fast path here is one reduction
         * CHEAPER than that, the deep path one more accurate.
@@ -127,6 +132,11 @@ object ArnoldiPageRank {
     var restart = startRestart
     var delta = Double.MaxValue
     var reason: ConvergedReason = ConvergedReason.MaxIterations
+    // fast single-reduction CGS for relaxed tolerances; escalated to CGS2
+    // when the restart residual stagnates at the fast path's cancellation
+    // floor (see ArnoldiConfig.reorthog)
+    var cgs2 = cfg.reorthog.getOrElse(cfg.tol < 1e-9)
+    var stagnant = 0
 
     while (restart < cfg.maxRestarts && delta >= cfg.tol) {
       val t0 = System.nanoTime()
@@ -149,9 +159,6 @@ object ArnoldiPageRank {
         prevHandle.foreach(_.handle.unpersist(false))
         prevHandle = Some(t)
       }
-      // fast single-reduction CGS for relaxed tolerances; measured CGS2 for
-      // oracle-grade runs (see ArnoldiConfig.reorthog)
-      val cgs2 = cfg.reorthog.getOrElse(cfg.tol < 1e-9)
       while (j < k && !breakdown) {
         // w = M v_j; H(i,j) = vᵢᵀw for i ≤ j (VecMTDot, ppagerank.cc:573)
         frame = mMult(frame, s"v$j", evs(j), dvs(j))
@@ -271,6 +278,15 @@ object ArnoldiPageRank {
       xHandle = Some(tr2)
 
       restart += 1
+      // stagnation → escalate to CGS2 (auto mode only): two consecutive
+      // restarts without ≥10% residual improvement means the fast path has
+      // hit its analytic-β cancellation floor above tol — without this the
+      // solver would spin to maxRestarts at a flat residual
+      if (!cgs2 && cfg.reorthog.isEmpty && delta >= cfg.tol) {
+        val prev = trace.lastOption.map(_.residual).getOrElse(Double.MaxValue)
+        if (delta > 0.9 * prev) stagnant += 1 else stagnant = 0
+        if (stagnant >= 2) cgs2 = true
+      }
       trace += IterMetric(runId, restart, delta, xNorm1, (System.nanoTime() - t0) / 1000000L)
       val converged = delta < cfg.tol
       if (converged || (cfg.checkpointDir.isDefined && restart % cfg.checkpointEvery == 0)) {

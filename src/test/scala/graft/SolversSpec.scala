@@ -158,6 +158,20 @@ class SolversSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("arnoldi at alpha=0.95 tol=1e-7 converges (test_script config; " +
+      "fast-GS must escalate to CGS2 on stagnation, not spin)") {
+    // regression: the analytic-β fast path stagnated at 1.8e-7 on a
+    // transcript graph at α=0.95 and would have run to maxRestarts; the
+    // auto-escalation flips to measured CGS2 after two flat restarts
+    val g = graft.graph.GraphOps.fromTranscripts(
+      graft.ingest.TranscriptGen.generate(spark, 2000))
+    val (_, stats) = ArnoldiPageRank.run(g, ArnoldiPageRank.ArnoldiConfig(
+      alpha = 0.95, tol = 1e-7, maxRestarts = 40))
+    assert(stats.reason.converged,
+      s"arnoldi(0.95) did not converge in 40 restarts: residual=${stats.residual}")
+    assert(stats.iterations < 30, s"needed ${stats.iterations} restarts")
+  }
+
   test("SmallSvd matches known singular values and A·v = σ·u") {
     // A = [[3,0],[0,2],[0,0]] → σ = (3, 2)
     val a = Array(Array(3.0, 0.0), Array(0.0, 2.0), Array(0.0, 0.0))
