@@ -271,6 +271,11 @@ object PageRank {
       .select(col("id"), when(col("nd").isNull, 1.0).otherwise(0.0).as("dang"))
     def vCol(j: Int): Column =
       when(col("id") === seeds(j), 1.0).otherwise(0.0)
+    // rank columns are named BY SEED ID (r<seed>, not r<index>): the column
+    // names travel into every checkpoint, so a resume validates the exact
+    // seed set, not just its size — resuming k different seeds against k
+    // old columns would silently start from an unrelated state
+    def rc(j: Int): String = s"r${seeds(j)}"
 
     // Resume (north rule, at parity with the single-vector kernel): the k
     // rank columns are the whole state; per-seed scalars are re-measured.
@@ -279,10 +284,12 @@ object PageRank {
       cfg.checkpointDir.flatMap { dir =>
         TableIO.latestValidSnapshot(spark, s"$dir/$runId", "iter_")
           .map { case (kk, snap) =>
-            require(snap.columns.count(_.startsWith("r")) == k,
-              s"checkpoint under $dir/$runId has " +
-                s"${snap.columns.count(_.startsWith("r"))} seed columns, " +
-                s"but ${k} seeds were requested — seed set must match")
+            val want = seeds.indices.map(rc).toSet
+            val got = snap.columns.filter(c => c != "id" && c != "dang").toSet
+            require(got == want,
+              s"checkpoint under $dir/$runId carries seed columns " +
+                s"${got.toSeq.sorted.mkString(",")} but seeds " +
+                s"${seeds.mkString(",")} were requested — seed set must match")
             startIter = kk
             snap
           }
@@ -291,11 +298,11 @@ object PageRank {
 
     // x₀_j = v_j (the reference's personalized start, ppagerank.cc:291-295)
     var frameHandle = GraftSqlInternals.truncate(resumed.getOrElse(base.select(
-      col("id") +: col("dang") +: Seq.tabulate(k)(j => vCol(j).as(s"r$j")): _*)))
+      col("id") +: col("dang") +: Seq.tabulate(k)(j => vCol(j).as(rc(j))): _*)))
     var frame = frameHandle.df
     // per-seed scalars: x₀_j sums to 1 iff the seed is in the vertex domain
-    val aggCols0 = Seq.tabulate(k)(j => sum(col("dang") * col(s"r$j"))) ++
-      Seq.tabulate(k)(j => sum(col(s"r$j")))
+    val aggCols0 = Seq.tabulate(k)(j => sum(col("dang") * col(rc(j)))) ++
+      Seq.tabulate(k)(j => sum(col(rc(j))))
     val r0 = frame.agg(aggCols0.head, aggCols0.tail: _*).head()
     val dtx = Array.tabulate(k)(j => r0.getDouble(j))
     val sx = Array.tabulate(k)(j => r0.getDouble(k + j))
@@ -320,28 +327,28 @@ object PageRank {
       val t0 = System.nanoTime()
       val omega = Array.tabulate(k)(j => 1.0 - cfg.alpha * (sx(j) - dtx(j)))
       // one SpMV join for ALL seeds: k sums per dst in one hash aggregate
-      val x = frame.select(col("id") +: Seq.tabulate(k)(j => col(s"r$j")): _*)
+      val x = frame.select(col("id") +: Seq.tabulate(k)(j => col(rc(j))): _*)
         .hint("shuffle_hash")
       val contrib = prep.joinEdges.join(x, prep.joinEdges("src") === x("id"))
         .groupBy(col("dst").as("cid"))
-        .agg(sum(col("weight") * col("r0")).as("y0"),
+        .agg(sum(col("weight") * col(rc(0))).as("y0"),
           Seq.tabulate(k - 1)(j =>
-            sum(col("weight") * col(s"r${j + 1}")).as(s"y${j + 1}")): _*)
+            sum(col("weight") * col(rc(j + 1))).as(s"y${j + 1}")): _*)
       val joined = frame.select(
-        col("id") +: col("dang") +: Seq.tabulate(k)(j => col(s"r$j").as(s"p$j")): _*)
+        col("id") +: col("dang") +: Seq.tabulate(k)(j => col(rc(j)).as(s"p$j")): _*)
         .join(contrib.hint("shuffle_hash"), col("id") === col("cid"), "left")
       val rankCols = Seq.tabulate(k) { j =>
         (lit(cfg.alpha) * coalesce(col(s"y$j"), lit(0.0)) +
-          GraftSqlInternals.stableLit(omega(j)) * vCol(j)).as(s"r$j")
+          GraftSqlInternals.stableLit(omega(j)) * vCol(j)).as(rc(j))
       }
       val metricCols =
-        Seq.tabulate(k)(j => sum(abs(col(s"r$j") - col(s"p$j"))).as(s"d$j")) ++
-        Seq.tabulate(k)(j => sum(col("dang") * col(s"r$j")).as(s"m$j")) ++
-        Seq.tabulate(k)(j => sum(col(s"r$j")).as(s"s$j"))
+        Seq.tabulate(k)(j => sum(abs(col(rc(j)) - col(s"p$j"))).as(s"d$j")) ++
+        Seq.tabulate(k)(j => sum(col("dang") * col(rc(j))).as(s"m$j")) ++
+        Seq.tabulate(k)(j => sum(col(rc(j))).as(s"s$j"))
       val next = joined.select(col("id") +: col("dang") +:
           (rankCols ++ Seq.tabulate(k)(j => col(s"p$j"))): _*)
         .observe("it", metricCols.head, metricCols.tail: _*)
-        .select(col("id") +: col("dang") +: Seq.tabulate(k)(j => col(s"r$j")): _*)
+        .select(col("id") +: col("dang") +: Seq.tabulate(k)(j => col(rc(j))): _*)
       val (nextHandle, observed) = GraftSqlInternals.truncateObserved(next)
       val row = observed("it")
       delta = (0 until k).map(j => row.getDouble(j)).max
@@ -367,7 +374,7 @@ object PageRank {
 
     // long form (id, seed, rank)
     val stackArgs = seeds.zipWithIndex
-      .map { case (s, j) => s"${s}L, r$j" }.mkString(", ")
+      .map { case (s, j) => s"${s}L, `r$s`" }.mkString(", ")
     val long = frame.select(col("id"),
       expr(s"stack($k, $stackArgs)").as(Seq("seed", "rank")))
     (long, PageRankStats(iter, delta, reason, trace.toSeq))

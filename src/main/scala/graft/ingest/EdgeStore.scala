@@ -99,11 +99,29 @@ object EdgeStore {
     }
   }
 
-  private def writeTag(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, tag: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_last_merge_tag")
+  /** Run identity recorded alongside the last merge tag (None for stores
+    * merged without one). The tag (a streaming batchId) is only a valid
+    * idempotency cursor WITHIN one streaming run: a fresh query checkpoint
+    * restarts batchIds at 0, so a cursor compared across runs silently
+    * skips genuinely new batches — callers scope the cursor by recording
+    * the run identity with it (IncrementalRank.maintain).
+    */
+  def lastMergeRun(spark: SparkSession, path: String): Option[String] = {
+    val (fs, p) = hfs(spark, s"$path/_last_merge_run")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, body: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val out = fs.create(p, true)
-    try out.write(tag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -132,7 +150,8 @@ object EdgeStore {
     * row-stochastic under edge arrivals without a full rebuild.
     */
   def mergeDelta(spark: SparkSession, path: String, deltaRaw: DataFrame,
-      deltaDict: Option[DataFrame] = None, tag: Option[Long] = None): MergeStats = {
+      deltaDict: Option[DataFrame] = None, tag: Option[Long] = None,
+      runId: Option[String] = None): MergeStats = {
     import org.apache.spark.sql.{GraftSqlInternals => GI}
     import spark.implicits._
     requireConsistent(spark, path)
@@ -263,7 +282,8 @@ object EdgeStore {
           .write.mode("append").parquet(s"$path/dict")
       }
     }
-    tag.foreach(t => writeTag(mfs, path, t))
+    tag.foreach(t => writeSmallFile(mfs, s"$path/_last_merge_tag", t.toString))
+    runId.foreach(r => writeSmallFile(mfs, s"$path/_last_merge_run", r))
     mfs.delete(mpath, false)
     affT.handle.unpersist(false); mergedT.handle.unpersist(false)
     newT.handle.unpersist(false); delta.unpersist()

@@ -32,9 +32,13 @@ object Dedup {
     // unreduced and sorts them). The rejoin probe side still carries norm —
     // that is the price of collision-safety (text equality, not hash
     // equality, defines a group).
+    // The rejoin is NULL-SAFE on norm (<=> — still an equi-join key):
+    // groupBy groups NULL-text rows into one group, and a plain equality
+    // rejoin would silently drop them from the output.
     val groups = keyed.groupBy(col("fp"), col("norm"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("group_size"))
-    keyed.join(groups, Seq("fp", "norm"))
+      .withColumnRenamed("fp", "gfp").withColumnRenamed("norm", "gnorm")
+    keyed.join(groups, col("fp") === col("gfp") && col("norm") <=> col("gnorm"))
       .select(col("id"), col("keep_id"), col("group_size"))
   }
 

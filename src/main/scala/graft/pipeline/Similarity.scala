@@ -88,10 +88,11 @@ object Similarity {
     * tables (memory) or fewer planes (bucket blowup).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 8, multiprobe: Int = 0, excludeSelf: Boolean = true): DataFrame = {
-    // default 0 = no probing (the original call-site contract); callers opt
-    // into the Hamming-1 fan-out explicitly. Negative values are rejected
-    // rather than silently behaving like depth-1 probing.
+      nPlanes: Int = 8, multiprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+    // default 1 = Hamming-1 probing, the historical call-site contract and
+    // the recall-safe default (a caller who wants the cheapest probe-free
+    // lookup opts DOWN explicitly). Negative values are rejected rather
+    // than silently behaving like depth-1 probing.
     require(multiprobe >= 0 && multiprobe <= 1,
       s"only Hamming-distance-0/1 probing implemented, got $multiprobe")
     val c = corpus.select(col("id"), col("embedding").as("ce"))

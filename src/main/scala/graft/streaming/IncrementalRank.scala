@@ -31,8 +31,9 @@ object IncrementalRank {
   def updateAndRank(spark: SparkSession, storePath: String,
       deltaRaw: DataFrame, prevRanks: Option[DataFrame],
       cfg: PageRankConfig = PageRankConfig(),
-      deltaDict: Option[DataFrame] = None, tag: Option[Long] = None): UpdateResult = {
-    val merge = EdgeStore.mergeDelta(spark, storePath, deltaRaw, deltaDict, tag)
+      deltaDict: Option[DataFrame] = None, tag: Option[Long] = None,
+      runId: Option[String] = None): UpdateResult = {
+    val merge = EdgeStore.mergeDelta(spark, storePath, deltaRaw, deltaDict, tag, runId)
     val g = EdgeStore.read(spark, storePath)
     val (ranks, stats) = PageRank.run(g, cfg, warmStart = prevRanks)
     // ranks is lineage-truncated inside run, so the read-side caches can go
@@ -48,11 +49,29 @@ object IncrementalRank {
     *
     * readStream → deriveLinks → foreachBatch(maintain(...)) is the full
     * streaming rank-maintenance pipeline.
+    *
+    * `runId` scopes the idempotency cursor to ONE streaming run — pass a
+    * stable identity of the query checkpoint (e.g. the checkpointLocation
+    * path or the query id). batchIds restart at 0 under a fresh checkpoint,
+    * so an unscoped cursor compared against an older run's high-water mark
+    * would silently skip genuinely new batches; with a runId recorded,
+    * rebinding a store to a DIFFERENT run fails loudly instead (reset the
+    * store and the checkpoint together). An empty runId keeps the legacy
+    * single-run behavior: the store and the streaming checkpoint MUST be
+    * created and reset together.
     */
   def maintain(spark: SparkSession, storePath: String, ranksPath: String,
-      cfg: PageRankConfig = PageRankConfig())(
+      cfg: PageRankConfig = PageRankConfig(), runId: String = "")(
       batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
+      val storedRun = EdgeStore.lastMergeRun(spark, storePath)
+      if (runId.nonEmpty)
+        require(storedRun.forall(_ == runId),
+          s"edge store $storePath was last merged by streaming run " +
+            s"'${storedRun.get}' but this query is run '$runId': its batchId " +
+            "cursor does not apply across runs (fresh checkpoints restart " +
+            "batchIds at 0) — reset the store together with the query " +
+            "checkpoint, or resume the original checkpoint")
       val prev = // first batch: no ranks yet → cold start; other errors surface
         try Some(spark.read.parquet(ranksPath))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
@@ -75,7 +94,8 @@ object IncrementalRank {
             batch.select(col("src"), col("dst"), col("weight"))
           else batch.select(col("src"), col("dst"), lit(1.0).as("weight"))
         val res = updateAndRank(spark, storePath, delta, prev, cfg,
-          tag = Some(batchId))
+          tag = Some(batchId),
+          runId = if (runId.nonEmpty) Some(runId) else None)
         res.ranks.write.mode("overwrite").parquet(ranksPath)
       }
     }

@@ -277,6 +277,28 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     all.unpersist()
   }
 
+  test("maintain scoped by runId refuses a store bound to another streaming run") {
+    val all = rawEdges(60).persist()
+    val store = tmp("inc_runid")
+    val ranksPath = tmp("inc_runid_ranks") + "/ranks"
+    EdgeStore.write(buildGraph(all), store, buckets = 4)
+    val cfg = PageRankConfig(tol = 1e-8, maxIter = 200)
+    val delta = Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight")
+    IncrementalRank.maintain(spark, store, ranksPath, cfg, runId = "ckpt-A")(
+      delta, batchId = 5L)
+    assert(EdgeStore.lastMergeRun(spark, store).contains("ckpt-A"))
+    // same run, retried batch: idempotent refresh, no error
+    IncrementalRank.maintain(spark, store, ranksPath, cfg, runId = "ckpt-A")(
+      delta, batchId = 5L)
+    // a FRESH checkpoint (new run, batchIds restart at 0) must fail loudly —
+    // the old cursor (5) would otherwise silently swallow batches 0..5
+    intercept[IllegalArgumentException] {
+      IncrementalRank.maintain(spark, store, ranksPath, cfg, runId = "ckpt-B")(
+        delta, batchId = 0L)
+    }
+    all.unpersist()
+  }
+
   test("an unfinished merge marker makes read() and mergeDelta refuse the store") {
     val all = rawEdges(60).persist()
     val store = tmp("inc_marker")

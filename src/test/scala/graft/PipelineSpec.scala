@@ -41,6 +41,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(r(4L)._2 == 1L)
   }
 
+  test("exact dedup keeps NULL-text rows (null-safe rejoin) as one group") {
+    import spark.implicits._
+    val withNulls = Seq(
+      (0L, "same text"), (1L, "same  text"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "")).toDF("doc_id", "text")
+    val r = Dedup.exact(withNulls).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.size == 5, s"rows dropped: ${r.keySet}") // nothing silently lost
+    assert(r(2L) == ((2L, 2L))) // both NULL-text docs form one group…
+    assert(r(3L) == ((2L, 2L)))
+    assert(r(4L) == ((4L, 1L))) // …separate from the empty-string doc
+    assert(r(0L) == ((0L, 2L)) && r(1L) == ((0L, 2L)))
+  }
+
   test("minhash LSH finds the near-duplicate pair and verifies jaccard") {
     val cand = Dedup.minhashCandidates(docs, nBands = 16, rowsPerBand = 2)
     val verified = Dedup.verifyJaccard(cand, docs, threshold = 0.5)

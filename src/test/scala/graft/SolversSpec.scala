@@ -147,6 +147,11 @@ class SolversSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       PageRank.runMultiSeed(g, Seq(0L, 3L, 4L), cfg, runId = "res", resume = true)
     }
+    // …including a DIFFERENT seed set of the SAME size (seed identity, not
+    // arity, is checkpointed — via the seed-named rank columns)
+    intercept[IllegalArgumentException] {
+      PageRank.runMultiSeed(g, Seq(0L, 4L), cfg, runId = "res", resume = true)
+    }
   }
 
   test("multi-seed PPR rejects a seed outside the vertex domain") {
