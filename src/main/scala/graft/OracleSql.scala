@@ -450,6 +450,93 @@ FROM pins p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b"""
       .map { case (a, b) => (a.toLong, b.toLong) }
   }
 
+  /** Twin of TextAnalysis.fingerprintMd5 + qualityScore: MD5 of the
+    * whitespace-normalized lowercased text, and the composite quality score
+    * recomputed term by term (token count / stopword ratio / punctuation
+    * ratio / mean token length gates — same thresholds, same weights). The
+    * score's value set is a small grid of one- and two-decimal sums, so
+    * ROUND(…, 6) can never sit on a rounding boundary.
+    */
+  val fingerprintQuality: String = """
+SELECT doc_id,
+       md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp_md5,
+       ROUND(
+         (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.4 +
+         (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tok END) >= 0.01 THEN 1.0 ELSE 0.5 END) * 0.2 +
+         (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2 +
+         (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+         6) AS quality
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LENGTH(string_split_regex(TRIM(text), '\s+')) END AS n_tok,
+         len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+             x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) AS n_stop,
+         CASE WHEN LENGTH(text) = 0 THEN 0.0
+              ELSE CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / LENGTH(text) END AS punct,
+         CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE LENGTH(string_split_regex(TRIM(text), '\s+')) END) = 0 THEN 0.0
+              ELSE CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+                   (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE LENGTH(string_split_regex(TRIM(text), '\s+')) END) END AS mean_tok_len
+  FROM documents) z"""
+
+  /** Twin of the mm1 media-features query: the synthetic media content is a
+    * closed-form function of media_id (solid-color PNG, constant-amplitude
+    * WAV — Multimodal.scala keeps the formulas in sync), so the DECODED
+    * statistics are reproducible without any codec: the engine's values can
+    * only match if ImageIO/AudioSystem actually parsed the payloads. Video
+    * (the one stubbed kind) contributes NULL decoded columns.
+    */
+  def mediaFeatures(n: Int, frameCount: Int): String = s"""
+WITH m AS (
+  SELECT range AS media_id,
+         CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+  FROM range(0, $n))
+SELECT media_id, kind,
+       CAST(CASE kind WHEN 'image' THEN 5 WHEN 'audio' THEN 3
+                      ELSE ${frameCount * 8} END AS BIGINT) AS feat_dim,
+       CAST(CASE kind WHEN 'video' THEN $frameCount ELSE 1 END AS BIGINT) AS frames_sampled,
+       TRUE AS ok,
+       CASE kind WHEN 'image' THEN CAST(8 + media_id % 9 AS DOUBLE)
+                 WHEN 'audio' THEN 8000.0 END AS d1,
+       CASE kind WHEN 'image' THEN CAST(8 + media_id % 7 AS DOUBLE)
+                 WHEN 'audio' THEN CAST(800 + (media_id % 5) * 160 AS DOUBLE) END AS d2,
+       CASE kind WHEN 'image' THEN CAST((media_id * 7) % 256 AS DOUBLE)
+                 WHEN 'audio' THEN CAST(1000 + (media_id % 100) * 10 AS DOUBLE) END AS d3
+FROM m"""
+
+  /** Recall@k cross-check for the ANN indexes: DuckDB computes the EXACT
+    * top-5 from the embeddings and scores the PINNED engine memberships
+    * against it; the engine (SparkEntry m5) scores its LIVE LSH/IVF output
+    * against its own brute force. Equal values prove the pinned membership
+    * is the live membership AND quantify its quality against ground truth —
+    * this is the non-circular completeness check the pin+verify protocol
+    * alone lacks.
+    */
+  def knnRecall(lsh: Seq[(Long, Long, Int)], ivf: Seq[(Long, Long, Int)]): String = {
+    def vals(rows: Seq[(Long, Long, Int)]) =
+      rows.map { case (q, i, r) => s"($q, $i, $r)" }.mkString(", ")
+    s"""
+WITH exact AS (
+  SELECT qid, id FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS rk
+    FROM embeddings c, embeddings q
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+  WHERE rk <= 5),
+lsh(qid, id, rk) AS (VALUES ${vals(lsh)}),
+ivf(qid, id, rk) AS (VALUES ${vals(ivf)}),
+q AS (SELECT DISTINCT qid FROM exact)
+SELECT q.qid,
+       ROUND((SELECT COUNT(*) FROM lsh l JOIN exact e ON e.qid = l.qid AND e.id = l.id
+              WHERE l.qid = q.qid) / 5.0, 2) AS recall_lsh,
+       ROUND((SELECT COUNT(*) FROM ivf i JOIN exact e ON e.qid = i.qid AND e.id = i.id
+              WHERE i.qid = q.qid) / 5.0, 2) AS recall_ivf
+FROM q"""
+  }
+
   val knn: String = """
 SELECT qid, id, cos, rk FROM (
   SELECT q.vec_id AS qid, c.vec_id AS id,

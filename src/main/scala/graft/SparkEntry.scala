@@ -58,7 +58,7 @@ object SparkEntry {
     val conf = s.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(src)
     val fs = sp.getFileSystem(conf)
-    for (sub <- Seq("edges", "raw_edges", "vertices", "dict", "meta"))
+    for (sub <- Seq("data", "vertices", "dict", "meta"))
       org.apache.hadoop.fs.FileUtil.copy(
         fs, new org.apache.hadoop.fs.Path(s"$src/$sub"),
         fs, new org.apache.hadoop.fs.Path(s"$dst/$sub"), false, conf)
@@ -267,9 +267,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"),
           col("lang"))),
 
-    "t5_fingerprint" -> ((s, dir) => // rows-only: xxhash64 is Spark-specific
+    // value-exact: MD5 over the same whitespace-normalized form the
+    // xxhash64 fingerprint uses (that one stays the hot-path kernel,
+    // covered by PipelineSpec) + the composite quality score, both
+    // recomputed by DuckDB from raw text
+    "t5_fingerprint" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
           TextAnalysis.qualityScore(col("text")).as("quality"))),
 
     // ---- dedup family ----
@@ -358,16 +363,64 @@ object SparkEntry {
       val work = i1CopyStore(s, store)
       ingest.EdgeStore.mergeDelta(s, work,
         s.read.parquet(s"$store/_i1_delta"))
-      s.read.parquet(s"$work/edges")
+      ingest.EdgeStore.scanNorm(s, work)
         .select(col("src"), col("dst"), round(col("weight"), 8).as("weight"))
     }),
 
-    // ---- multimodal plumbing (rows-only: stubbed decode, real batching) ----
+    // ---- multimodal: REAL JDK-codec decode for image (PNG/ImageIO) and
+    // audio (WAV/AudioSystem); video stays stubbed (no codec in the JDK).
+    // d1/d2/d3 are decoded statistics — image (w, h, meanR/255), audio
+    // (rate, nSamples, meanAbs/32767) — that DuckDB reproduces in closed
+    // form from media_id, so the oracle fails unless the decode really ran.
     "mm1_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 200)
+      def d(i: Int) = when(col("kind") === "video", lit(null).cast("double"))
+        .otherwise(round(element_at(col("features"), i).cast("double"), 6))
+      // d3 back in NATIVE units (0-255 pixel level / PCM amplitude): the
+      // float32 feature times the scale rounds exactly to the integer mean,
+      // where the normalized float32 itself can cross a decimal-rounding
+      // boundary the oracle's float64 doesn't
+      val d3 = when(col("kind") === "video", lit(null).cast("double"))
+        .otherwise(round(element_at(col("features"), 3).cast("double") *
+          when(col("kind") === "image", lit(255.0)).otherwise(lit(32767.0))))
       Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("kind"), col("feat_dim"),
-          col("frames_sampled"), col("ok"))
+        .select(col("media_id"), col("kind"), col("feat_dim").cast("long").as("feat_dim"),
+          col("frames_sampled").cast("long").as("frames_sampled"), col("ok"),
+          d(1).as("d1"), d(2).as("d2"), d3.as("d3"))
+    }),
+
+    // ---- ANN quality: recall@5 of the approximate indexes vs the exact
+    // top-k, per query. Closes the pin-circularity of m2/m4: the engine
+    // computes recall of its LIVE LSH/IVF output against its own brute
+    // force, DuckDB computes recall of the PINNED membership against its
+    // own exact top-k — the values only agree if membership, exactness, and
+    // determinism all hold.
+    "m5_knn_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val joined = corpus.join(broadcast(queries.withColumnRenamed("embedding", "qe")))
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          round(Similarity.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("id"))
+      val exact = joined.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("qid"), col("id"))
+      val lsh = Similarity.lshTopK(corpus, queries, k = 5, multiprobe = 1)
+        .select(col("qid"), col("id"))
+      val ivf = Similarity.ivfTopK(corpus, queries, k = 5, nCells = 32, nProbe = 6)
+        .select(col("qid"), col("id"))
+      def recall(approx: DataFrame, as: String) =
+        exact.join(approx, Seq("qid", "id"), "left_semi")
+          .groupBy(col("qid")).agg((count(lit(1)) / 5.0).as(as))
+      queries.select(col("qid"))
+        .join(recall(lsh, "rl"), Seq("qid"), "left")
+        .join(recall(ivf, "ri"), Seq("qid"), "left")
+        .select(col("qid"),
+          round(coalesce(col("rl"), lit(0.0)), 2).as("recall_lsh"),
+          round(coalesce(col("ri"), lit(0.0)), 2).as("recall_ivf"))
     })
   )
 
@@ -423,6 +476,9 @@ object SparkEntry {
     "t2_quality" -> OracleSql.quality,
     "t3_dedup_exact" -> OracleSql.dedupExact,
     "m1_knn_bruteforce" -> OracleSql.knn,
+    "m5_knn_recall" -> OracleSql.knnRecall(OracleSql.Pins.m2Lsh, OracleSql.Pins.m4Ivf),
+    "t5_fingerprint" -> OracleSql.fingerprintQuality,
+    "mm1_media_features" -> OracleSql.mediaFeatures(200, 4),
     // the incremental merge must reproduce the batch normalization exactly
     "i1_incremental_merge" -> OracleSql.normalize
   )

@@ -302,6 +302,7 @@ object ArnoldiPageRank {
       if (converged) reason = ConvergedReason.ResidualBelowTol
     }
 
+    prep.close()
     // sign-fix + L1-normalize (deviation from reference; see scaladoc)
     val signedSum = x.agg(sum(col("x"))).head().getDouble(0)
     val sign = if (signedSum < 0) -1.0 else 1.0

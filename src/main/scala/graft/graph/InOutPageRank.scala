@@ -208,6 +208,7 @@ object InOutPageRank {
       if (converged) reason = ConvergedReason.ResidualBelowTol
     }
 
+    prep.close()
     // In inner mode the current iterate satisfies x with y = Bx; the rank
     // vector the solver returns is x (same convention as the reference,
     // which leaves the iterate in p).

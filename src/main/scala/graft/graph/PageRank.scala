@@ -43,7 +43,18 @@ object PageRank {
       joinEdges: DataFrame,        // (src[, salt], dst, weight)
       hubs: DataFrame,             // (src) hub sources, broadcast-sized
       saltBuckets: Int,
-      saltEnabled: Boolean)
+      saltEnabled: Boolean) {
+    /** Release the frames `prepare` persisted. Salt-disabled preparation
+      * persists nothing (joinEdges is the graph's own cached edge set, owned
+      * by the caller); the salted path persists hubs + the salted edge copy
+      * per `prepare` call, and a long-lived service that runs many solves
+      * would accumulate dead cached blocks without this.
+      */
+    def close(): Unit = if (saltEnabled) {
+      joinEdges.unpersist(false)
+      hubs.unpersist(false)
+    }
+  }
 
   /** One-time per-graph preparation shared across runs (≙ script mode's
     * normalize-once, /root/reference/ppagerank_main.cc:408-467).
@@ -117,7 +128,7 @@ object PageRank {
     val prep = prepare(g, cfg)
 
     // static dangling indicator (C6 complement): dang=1 iff no out-edges —
-    // joined into the iterate frame once, so dᵀx is a free side-aggregate
+    // folded into the iterate frame once, so dᵀx is a free side-aggregate
     val srcs = g.edges.select(col("src").as("id")).distinct()
       .withColumn("nd", lit(1))
     val base = g.vertices.join(srcs, Seq("id"), "left")
@@ -125,6 +136,18 @@ object PageRank {
 
     // personalization v (default uniform 1/n); carried as a column when given
     val vDf = personalization.map(_.select(col("id"), col("v").cast("double")))
+    val hasV = vDf.isDefined
+
+    // Iterate representation. Uniform teleport (the headline/maintenance
+    // path): the dangling bit rides in the SIGN of the rank value and the
+    // per-iteration frame is just (id, rank) — at 10⁷ vertices the carried
+    // dang column was ~25% of the cached bytes per iteration, pure overhead
+    // for a static per-vertex bit. Sound because every magnitude is strictly
+    // positive (rank = α·yraw + ω·(1/n) with ω ≥ 1−α > 0), so the sign is
+    // never ambiguous. The personalized path keeps the explicit (dang, v)
+    // columns: with a sparse v a rank can be exactly 0.0, which cannot carry
+    // a sign, so packing would silently mislabel a dangling vertex.
+    val packed = !hasV
 
     // Warm start (incremental re-rank after a graph delta): x₀ = previous
     // ranks where known, teleport vector elsewhere. No explicit
@@ -139,16 +162,22 @@ object PageRank {
           .select(col("id"), col("dang"), coalesce(col("v"), lit(0.0)).as("v"))
         case None => base
       }
-      val fallback = if (vDf.isDefined) col("v") else lit(1.0 / n)
-      warmStart match {
+      val fallback = if (hasV) col("v") else lit(1.0 / n)
+      val x0 = warmStart match {
         case Some(w0) =>
+          // non-positive warm ranks are treated as missing: a sane previous
+          // iterate is strictly positive, and in the packed representation a
+          // zero magnitude would drop the dangling sign bit
           val w = w0.select(col("id"), col("rank").cast("double").as("rank_ws"))
           withV.join(w, Seq("id"), "left")
             .select(withV.columns.map(col).toSeq :+
-              coalesce(col("rank_ws"), fallback).as("rank"): _*)
+              when(col("rank_ws") > 0, col("rank_ws")).otherwise(fallback).as("rank"): _*)
         case None =>
           withV.select(withV.columns.map(col).toSeq :+ fallback.as("rank"): _*)
       }
+      if (packed) x0.select(col("id"),
+        when(col("dang") === 1.0, -col("rank")).otherwise(col("rank")).as("rank"))
+      else x0
     }
 
     var startIter = 0
@@ -159,7 +188,12 @@ object PageRank {
         TableIO.latestValidSnapshot(spark, s"$dir/$runId", "iter_") match {
           case Some((k, snap)) =>
             startIter = k
-            snap
+            // migration: a pre-packing snapshot carries an explicit dang
+            // column — fold it into the sign on the way in
+            if (packed && snap.columns.contains("dang"))
+              snap.select(col("id"),
+                when(col("dang") === 1.0, -col("rank")).otherwise(col("rank")).as("rank"))
+            else snap
           case None => initialFrame()
         }
       case _ => initialFrame()
@@ -167,12 +201,18 @@ object PageRank {
     var frameHandle = GraftSqlInternals.truncate(frame)
     frame = frameHandle.df
 
+    // dangling indicator + magnitude of the CURRENT iterate row, under
+    // either representation
+    def dangOf(rank: Column): Column =
+      if (packed) when(rank < 0, 1.0).otherwise(0.0) else col("dang")
+    def magOf(rank: Column): Column = if (packed) abs(rank) else rank
+
     // scalars for iteration 0 / resume: dᵀx and eᵀx (one extra job, once)
-    val r0 = frame.agg(sum(col("dang") * col("rank")), sum(col("rank"))).head()
+    val r0 = frame.agg(sum(dangOf(col("rank")) * magOf(col("rank"))),
+      sum(magOf(col("rank")))).head()
     var dtx = r0.getDouble(0)
     var sx = r0.getDouble(1)
 
-    val hasV = vDf.isDefined
     val vCol = if (hasV) col("v") else lit(1.0 / n)
     val trace = scala.collection.mutable.ArrayBuffer[IterMetric]()
     var flushedUpTo = 0
@@ -190,22 +230,29 @@ object PageRank {
       // generated source every iteration and force a Janino recompile of
       // every stage touching it (tens of ms serial per stage).
       val omega = 1.0 - cfg.alpha * (sx - dtx)
-      val contrib = spmv(prep, frame.select(col("id"), col("rank")))
+      val contrib = spmv(prep,
+          frame.select(col("id"), magOf(col("rank")).as("rank")))
         .withColumnRenamed("y", "yraw")
-      val carry = Seq(col("id"), col("dang")) ++ (if (hasV) Seq(col("v")) else Nil)
+      val carry = if (packed) Seq(col("id"))
+        else Seq(col("id"), col("dang")) ++ (if (hasV) Seq(col("v")) else Nil)
+      // the new magnitude is always positive; packed mode re-applies the
+      // (static) dangling sign carried by the previous rank value
+      val rankPos = lit(cfg.alpha) * coalesce(col("yraw"), lit(0.0)) +
+        GraftSqlInternals.stableLit(omega) * vCol
+      val rankStored = if (packed)
+        when(col("rank_prev") < 0, -col("rank_pos")).otherwise(col("rank_pos"))
+      else col("rank_pos")
       val next = frame.select(carry :+ col("rank").as("rank_prev"): _*)
         .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
-        .withColumn("rank",
-          lit(cfg.alpha) * coalesce(col("yraw"), lit(0.0)) +
-            GraftSqlInternals.stableLit(omega) * vCol)
+        .withColumn("rank_pos", rankPos)
         // residual ‖xₖ₊₁−xₖ‖₁, next dᵀx and eᵀx are observed as accumulator
         // side-effects of the SAME tasks that materialize the iterate below
         // (no dedicated aggregation stage, no read-back of the fresh cache)
         .observe("it",
-          sum(abs(col("rank") - col("rank_prev"))).as("delta"),
-          sum(col("dang") * col("rank")).as("dtx"),
-          sum(col("rank")).as("sx"))
-        .select(carry :+ col("rank"): _*)
+          sum(abs(col("rank_pos") - magOf(col("rank_prev")))).as("delta"),
+          sum(dangOf(col("rank_prev")) * col("rank_pos")).as("dtx"),
+          sum(col("rank_pos")).as("sx"))
+        .select(carry :+ rankStored.as("rank"): _*)
       // eager lineage truncation + metrics: ONE job per iteration; the
       // previous iterate's blocks are unpersisted explicitly afterwards
       val (nextHandle, observed) = GraftSqlInternals.truncateObserved(next)
@@ -236,8 +283,9 @@ object PageRank {
       }
       if (converged) reason = ConvergedReason.ResidualBelowTol
     }
+    prep.close() // frame is lineage-truncated — independent of prep's caches
 
-    (frame.select(col("id"), col("rank")).as[VertexRank],
+    (frame.select(col("id"), magOf(col("rank")).as("rank")).as[VertexRank],
       PageRankStats(iter, delta, reason, trace.toSeq))
   }
 
@@ -371,6 +419,8 @@ object PageRank {
       }
       if (converged) reason = ConvergedReason.ResidualBelowTol
     }
+
+    prep.close()
 
     // long form (id, seed, rank)
     val stackArgs = seeds.zipWithIndex

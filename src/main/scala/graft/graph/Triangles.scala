@@ -23,19 +23,16 @@ object Triangles {
       .where(col("u") =!= col("v"))
       .distinct()
 
-  /** Total triangle count. */
-  def count(edges: Dataset[Edge]): Long = {
-    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
-
-    // degree in the undirected simple graph
+  /** Orient each undirected edge from the lower-(degree, id) endpoint `a` to
+    * the higher `b` — every vertex's oriented out-degree is O(√m), so the
+    * wedge self-join below never goes quadratic on a hub.
+    */
+  private def orient(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(expr("count(1)").as("deg"))
-
-    // orient each edge from lower (deg, id) to higher (deg, id)
     val du = deg.select(col("id").as("u"), col("deg").as("du"))
     val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
-    val oriented = und.join(du, "u").join(dv, "v")
+    und.join(du, "u").join(dv, "v")
       .select(
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")), col("u"))
@@ -43,39 +40,56 @@ object Triangles {
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    oriented.count()
-    und.unpersist(false)
+  }
 
-    // wedges a→b, a→c (b<c so each unordered pair appears once); every
-    // triangle has exactly one pivot a in the degree orientation
+  /** Each triangle exactly once as (a, b, c): wedges a→b, a→c (b<c) from the
+    * degree orientation, closed by an oriented edge between b and c in either
+    * direction — every triangle has exactly one pivot a in this orientation.
+    */
+  private def enumerate(oriented: DataFrame): DataFrame = {
     val e1 = oriented.select(col("a"), col("b"))
     val e2 = oriented.select(col("a"), col("b").as("c"))
     val wedges = e1.join(e2, "a").where(col("b") < col("c"))
-    // close the wedge with an oriented edge in either direction; `closing`
-    // has distinct (b,c) pairs, so the inner join keeps wedge multiplicity
+    // `closing` has distinct (b,c) pairs, so the inner join keeps wedge
+    // multiplicity (= 1 per triangle)
     val closing = oriented.select(col("a").as("b"), col("b").as("c"))
       .union(oriented.select(col("b").as("b"), col("a").as("c")))
-    val n = wedges.join(closing, Seq("b", "c"), "inner").count()
+    wedges.join(closing, Seq("b", "c"), "inner")
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Total triangle count. */
+  def count(edges: Dataset[Edge]): Long = {
+    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    val oriented = orient(und).persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count()
+    und.unpersist(false)
+    val n = enumerate(oriented).count()
     oriented.unpersist(false)
     n
   }
 
-  /** Per-vertex triangle participation counts (id, triangles). */
+  /** Per-vertex triangle participation counts (id, triangles) — same
+    * degree-oriented wedge join as `count` (the unoriented form is O(d²) on
+    * hubs); the three corners of each enumerated triangle are exploded back
+    * out, so attribution is orientation-invariant.
+    */
   def perVertex(edges: Dataset[Edge], vertices: DataFrame): DataFrame = {
     val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
-    val e1 = und.select(col("u").as("a"), col("v").as("b"))
-    val e2 = und.select(col("u").as("a"), col("v").as("c"))
-    val wedges = e1.join(e2, "a").where(col("b") < col("c"))
-    val tris = wedges.join(und.select(col("u").as("b"), col("v").as("c")),
-        Seq("b", "c"), "inner")
-      .select(col("a"), col("b"), col("c"))
-    val counts = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(expr("count(1)").as("triangles"))
-    val out = vertices.join(counts, Seq("id"), "left")
-      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+    val oriented = orient(und).persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count()
     und.unpersist(false)
-    out
+    // eager: the per-corner counts must materialize BEFORE the inputs are
+    // unpersisted, or the caller's later action re-derives the whole wedge
+    // join from scratch
+    val counts = enumerate(oriented)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(expr("count(1)").as("triangles"))
+      .localCheckpoint(true)
+    oriented.unpersist(false)
+    vertices.join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 }

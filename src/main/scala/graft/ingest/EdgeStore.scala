@@ -14,6 +14,16 @@ import graft.model.Edge
   * column sort (/root/reference/petsc_util.cc:714-722) and block row
   * partitioning (petsc_util.cc:331-344).
   *
+  * Layout v2 (current): ONE parquet tree `data/tbl={norm,raw}/bucket=N/`
+  * holding both the normalized and the raw (pre-normalization multiplicity)
+  * edges, discriminated by the `tbl` partition column. One tree means the
+  * initial write AND a mergeDelta rewrite are each a single job over the
+  * discriminated union instead of two per-table jobs — at the incremental-
+  * maintenance cadence the per-job fixed overhead (planning + stage
+  * barriers + commit protocol) was about half the merge cost. Layout v1
+  * (two trees `edges/` + `raw_edges/`) remains readable and mergeable; see
+  * `migrate` for the one-shot upgrade.
+  *
   * Plain parquet `partitionBy` directories carry NO bucketing metadata, so a
   * bare re-read would re-shuffle the edge side of every rank-vector join.
   * `read` therefore repartitions by `src` ONCE and persists: the cached
@@ -28,23 +38,33 @@ object EdgeStore {
   def bucketCol(buckets: Int) = pmod(xxhash64(col("src")), lit(buckets)).cast("int")
 
   def write(g: LinkGraph, path: String, buckets: Int = 64): Unit = {
-    def writeEdges(ds: Dataset[Edge], sub: String): Unit =
-      ds.toDF()
-        .withColumn("bucket", bucketCol(buckets))
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("src"), col("dst"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(s"$path/$sub")
-    writeEdges(g.edges, "edges")
-    // raw (pre-normalization multiplicity) edges kept alongside so a
-    // round-tripped graph reports the same rawEdges weights as the original
-    writeEdges(g.rawEdges, "raw_edges")
+    // one discriminated union, one write job for both tables
+    val unioned = g.edges.toDF().withColumn("tbl", lit("norm"))
+      .unionByName(g.rawEdges.toDF().withColumn("tbl", lit("raw")))
+    writeData(unioned, path, buckets)
     g.vertices.write.mode("overwrite").parquet(s"$path/vertices")
     g.dict.write.mode("overwrite").parquet(s"$path/dict")
-    val spark = g.edges.sparkSession
+    writeMeta(g.edges.sparkSession, path, buckets)
+  }
+
+  /** Write/overwrite the combined tree from a frame carrying
+    * (src, dst, weight, tbl); dynamic mode rewrites only present partitions.
+    */
+  private def writeData(df: DataFrame, path: String, buckets: Int,
+      dynamic: Boolean = false): Unit = {
+    val w = df
+      .withColumn("bucket", bucketCol(buckets))
+      .repartition(col("tbl"), col("bucket"))
+      .sortWithinPartitions(col("tbl"), col("bucket"), col("src"), col("dst"))
+      .write.mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("tbl", "bucket")
+      .parquet(s"$path/data")
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit = {
     import spark.implicits._
-    Seq(buckets).toDF("buckets").coalesce(1)
+    Seq((buckets, 2)).toDF("buckets", "layout").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -62,7 +82,69 @@ object EdgeStore {
   def readBuckets(spark: SparkSession, path: String): Int = {
     val (fs, p) = hfs(spark, s"$path/meta")
     if (!fs.exists(p)) 64
-    else spark.read.parquet(p.toString).head().getInt(0)
+    else spark.read.parquet(p.toString).select(col("buckets")).head().getInt(0)
+  }
+
+  /** Store layout version: 2 = combined `data/tbl=…/bucket=…` tree,
+    * 1 = legacy separate `edges/` + `raw_edges/` trees (pre-meta or
+    * pre-layout-column stores are v1 by construction).
+    */
+  def readLayout(spark: SparkSession, path: String): Int = {
+    val (fs, p) = hfs(spark, s"$path/meta")
+    if (!fs.exists(p)) 1
+    else {
+      val meta = spark.read.parquet(p.toString)
+      if (!meta.columns.contains("layout")) 1
+      else meta.select(col("layout")).head().getInt(0)
+    }
+  }
+
+  /** Scan one logical table ("norm" | "raw") under either layout, as
+    * (src, dst, weight, bucket) — bucket kept for partition pruning.
+    */
+  private def scanTbl(spark: SparkSession, path: String, tbl: String,
+      layout: Int): DataFrame =
+    if (layout >= 2)
+      spark.read.parquet(s"$path/data").where(col("tbl") === tbl)
+        .select(col("src"), col("dst"), col("weight"), col("bucket"))
+    else {
+      val sub = if (tbl == "norm") "edges" else "raw_edges"
+      spark.read.parquet(s"$path/$sub")
+        .select(col("src"), col("dst"), col("weight"), col("bucket"))
+    }
+
+  /** Layout-independent scans of the two logical tables (src, dst, weight) —
+    * callers must not hardcode the physical tree shape.
+    */
+  def scanNorm(spark: SparkSession, path: String): DataFrame =
+    scanTbl(spark, path, "norm", readLayout(spark, path))
+      .select(col("src"), col("dst"), col("weight"))
+  def scanRaw(spark: SparkSession, path: String): DataFrame =
+    scanTbl(spark, path, "raw", readLayout(spark, path))
+      .select(col("src"), col("dst"), col("weight"))
+
+  /** One-shot upgrade of a legacy v1 store to the combined v2 tree (the
+    * incremental path keeps working on v1 without this; migrating buys the
+    * single-job merge rewrite). Not atomic against concurrent merges — the
+    * in-progress marker excludes them.
+    */
+  def migrate(spark: SparkSession, path: String): Unit = {
+    requireConsistent(spark, path)
+    if (readLayout(spark, path) >= 2) return
+    val buckets = readBuckets(spark, path)
+    val (mfs, mpath) = hfs(spark, markerPath(path))
+    mfs.create(mpath, false).close()
+    val unioned =
+      scanTbl(spark, path, "norm", 1).drop("bucket").withColumn("tbl", lit("norm"))
+        .unionByName(
+          scanTbl(spark, path, "raw", 1).drop("bucket").withColumn("tbl", lit("raw")))
+    writeData(unioned, path, buckets)
+    writeMeta(spark, path, buckets)
+    for (sub <- Seq("edges", "raw_edges")) {
+      val (fs, p) = hfs(spark, s"$path/$sub")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    mfs.delete(mpath, false)
   }
 
   // ---- merge commit protocol ----
@@ -156,6 +238,7 @@ object EdgeStore {
     import spark.implicits._
     requireConsistent(spark, path)
     val buckets = readBuckets(spark, path)
+    val layout = readLayout(spark, path)
     // bucket-membership bitmask: rides as a `bit_or` observe accumulator on
     // the jobs that materialize data anyway (no dedicated distinct+collect
     // job); stores with > 64 buckets fall back to an explicit collect
@@ -199,7 +282,7 @@ object EdgeStore {
     // rows travel in one discriminated union so one job materializes both;
     // the written-raw bucket set (for emptied-bucket cleanup) rides as an
     // observe mask on the same tasks. ----
-    val rawAff = spark.read.parquet(s"$path/raw_edges")
+    val rawAff = scanTbl(spark, path, "raw", layout)
       .where(col("bucket").isin(affBuckets: _*)) // partition pruning
       .select(col("src"), col("dst"), col("weight"))
     val keepRaw = rawAff.join(affSrcs, Seq("src"), "left_anti")
@@ -213,7 +296,7 @@ object EdgeStore {
     val touchedNorm = touchedRaw
       .withColumn("weight", col("weight") /
         sum(col("weight")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-    val keepNorm = spark.read.parquet(s"$path/edges")
+    val keepNorm = scanTbl(spark, path, "norm", layout)
       .where(col("bucket").isin(affBuckets: _*))
       .select(col("src"), col("dst"), col("weight"))
       .join(affSrcs, Seq("src"), "left_anti")
@@ -230,21 +313,27 @@ object EdgeStore {
 
     // Rewrite only the affected bucket dirs (dynamic partition overwrite);
     // the checkpoint above bounds the rewrite to affected-bucket bytes.
-    def rewrite(df: DataFrame, sub: String): Unit =
-      df.withColumn("bucket", bucketCol(buckets))
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("src"), col("dst"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(s"$path/$sub")
     // in-progress marker: exclusive create — a concurrent merge fails here
-    // instead of interleaving rewrites; removed only after BOTH rewrites,
+    // instead of interleaving rewrites; removed only after the rewrite(s),
     // the emptied-bucket cleanup, and the vertex append are durable
     val (mfs, mpath) = hfs(spark, markerPath(path))
     mfs.create(mpath, false).close()
-    rewrite(merged.where(col("tbl") === "raw").drop("tbl"), "raw_edges")
-    rewrite(merged.where(col("tbl") === "norm").drop("tbl"), "edges")
+    if (layout >= 2) {
+      // combined tree: BOTH tables land in ONE rewrite job — the merged
+      // union already carries the tbl discriminator
+      writeData(merged, path, buckets, dynamic = true)
+    } else {
+      def rewrite(df: DataFrame, sub: String): Unit =
+        df.withColumn("bucket", bucketCol(buckets))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("src"), col("dst"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(s"$path/$sub")
+      rewrite(merged.where(col("tbl") === "raw").drop("tbl"), "raw_edges")
+      rewrite(merged.where(col("tbl") === "norm").drop("tbl"), "edges")
+    }
 
     // dynamic overwrite replaces only partitions PRESENT in the written
     // frame — an affected bucket whose rows were all deleted must be
@@ -258,8 +347,15 @@ object EdgeStore {
     val emptied = affBuckets.filterNot(presentBuckets)
     if (emptied.nonEmpty) {
       val conf = spark.sparkContext.hadoopConfiguration
-      for (sub <- Seq("raw_edges", "edges"); b <- emptied) {
-        val p = new org.apache.hadoop.fs.Path(s"$path/$sub/bucket=$b")
+      val dirs =
+        if (layout >= 2)
+          for (t <- Seq("raw", "norm"); b <- emptied)
+            yield s"$path/data/tbl=$t/bucket=$b"
+        else
+          for (sub <- Seq("raw_edges", "edges"); b <- emptied)
+            yield s"$path/$sub/bucket=$b"
+      for (d <- dirs) {
+        val p = new org.apache.hadoop.fs.Path(d)
         val fs = p.getFileSystem(conf)
         if (fs.exists(p)) fs.delete(p, true)
       }
@@ -293,11 +389,12 @@ object EdgeStore {
   def read(spark: SparkSession, path: String): LinkGraph = {
     import spark.implicits._
     requireConsistent(spark, path)
-    val edges = spark.read.parquet(s"$path/edges")
+    val layout = readLayout(spark, path)
+    val edges = scanTbl(spark, path, "norm", layout)
       .select(col("src"), col("dst"), col("weight")).as[Edge]
       .repartition(col("src")) // restore co-partitioning for rank joins
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val rawEdges = spark.read.parquet(s"$path/raw_edges")
+    val rawEdges = scanTbl(spark, path, "raw", layout)
       .select(col("src"), col("dst"), col("weight")).as[Edge]
     val vertices = spark.read.parquet(s"$path/vertices").persist()
     val dict = spark.read.parquet(s"$path/dict")

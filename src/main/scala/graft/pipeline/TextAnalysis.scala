@@ -86,4 +86,13 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Engine-independent fingerprint variant: MD5 hex of the same
+    * whitespace-normalized form — reproducible by any engine (the driver's
+    * DuckDB oracle recomputes it), where xxhash64 is Spark-specific. Use
+    * `fingerprint` in hot paths (codegen'd, 8-byte output), this one where
+    * cross-engine verifiability matters.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 }

@@ -24,11 +24,14 @@ class EdgeStoreSpec extends AnyFunSuite with SparkTestBase {
     val r1 = PageRank.run(g, cfg)._1.collect().map(r => r.id -> r.rank).toMap
     val r2 = PageRank.run(g2, cfg)._1.collect().map(r => r.id -> r.rank).toMap
     r1.foreach { case (id, v) => assert(math.abs(r2(id) - v) < 1e-12) }
-    // bucket pruning: a bucket-key filter prunes partition directories
-    val pruned = spark.read.parquet(s"$dir/edges").where(col("bucket") === 3)
+    // partition pruning: tbl + bucket filters prune partition directories of
+    // the combined tree
+    val pruned = spark.read.parquet(s"$dir/data")
+      .where(col("tbl") === "norm" && col("bucket") === 3)
     val plan = pruned.queryExecution.executedPlan.toString
     assert(pruned.count() > 0)
-    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    assert(plan.contains("PartitionFilters: [isnotnull(tbl") ||
+      plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
     // raw (pre-normalization) multiplicities survive the round trip
     val ra = g.rawEdges.collect().map(e => (e.src, e.dst, e.weight)).toSet
     val rb = g2.rawEdges.collect().map(e => (e.src, e.dst, e.weight)).toSet

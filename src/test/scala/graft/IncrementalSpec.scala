@@ -56,9 +56,9 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
 
     val full = buildGraph(all)
     // multiplicities are integer-valued doubles → normalization is exact
-    assert(edgeMap(spark.read.parquet(s"$store/edges")) ==
+    assert(edgeMap(EdgeStore.scanNorm(spark, store)) ==
       edgeMap(full.edges.toDF()))
-    assert(edgeMap(spark.read.parquet(s"$store/raw_edges")) ==
+    assert(edgeMap(EdgeStore.scanRaw(spark, store)) ==
       edgeMap(full.rawEdges.toDF()))
     // vertex domain caught up too
     assert(spark.read.parquet(s"$store/vertices").as[Long].collect().toSet ==
@@ -86,10 +86,10 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
       }
       m.toMap
     }
-    val before = fileState("edges")
+    val before = fileState("data/tbl=norm")
     val stats = EdgeStore.mergeDelta(spark, store, delta)
     assert(stats.affectedBuckets == 1)
-    val after = fileState("edges")
+    val after = fileState("data/tbl=norm")
 
     val affected = delta.select(
       pmod(xxhash64(col("src")), lit(8)).cast("int").as("b"))
@@ -112,9 +112,9 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     // remove one multiplicity of 0→1 and ALL of 0→2
     val delta = Seq((0L, 1L, -1.0), (0L, 2L, -1.0)).toDF("src", "dst", "weight")
     EdgeStore.mergeDelta(spark, store, delta)
-    val raw = edgeMap(spark.read.parquet(s"$store/raw_edges"))
+    val raw = edgeMap(EdgeStore.scanRaw(spark, store))
     assert(raw == Map((0L, 1L) -> 1.0, (1L, 2L) -> 1.0))
-    val norm = edgeMap(spark.read.parquet(s"$store/edges"))
+    val norm = edgeMap(EdgeStore.scanNorm(spark, store))
     assert(norm == Map((0L, 1L) -> 1.0, (1L, 2L) -> 1.0)) // re-stochastic
   }
 
@@ -125,9 +125,9 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     EdgeStore.write(buildGraph(base), store, buckets = 4)
     val delta = Seq((0L, 1L, -2.0), (0L, 2L, -1.0)).toDF("src", "dst", "weight")
     EdgeStore.mergeDelta(spark, store, delta)
-    assert(edgeMap(spark.read.parquet(s"$store/raw_edges")) ==
+    assert(edgeMap(EdgeStore.scanRaw(spark, store)) ==
       Map((1L, 2L) -> 1.0))
-    assert(edgeMap(spark.read.parquet(s"$store/edges")) ==
+    assert(edgeMap(EdgeStore.scanNorm(spark, store)) ==
       Map((1L, 2L) -> 1.0))
   }
 
@@ -239,9 +239,9 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     EdgeStore.write(buildGraph(base), store, buckets = 128)
     val stats = EdgeStore.mergeDelta(spark, store, delta)
     assert(stats.totalBuckets == 128)
-    assert(edgeMap(spark.read.parquet(s"$store/edges")) ==
+    assert(edgeMap(EdgeStore.scanNorm(spark, store)) ==
       edgeMap(buildGraph(all).edges.toDF()))
-    assert(edgeMap(spark.read.parquet(s"$store/raw_edges")) ==
+    assert(edgeMap(EdgeStore.scanRaw(spark, store)) ==
       edgeMap(buildGraph(all).rawEdges.toDF()))
     all.unpersist()
   }
@@ -260,15 +260,15 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     val cfg = PageRankConfig(tol = 1e-10, maxIter = 500)
 
     IncrementalRank.maintain(spark, store, ranksPath, cfg)(delta, batchId = 0L)
-    val afterFirst = edgeMap(spark.read.parquet(s"$store/edges"))
+    val afterFirst = edgeMap(EdgeStore.scanNorm(spark, store))
     assert(EdgeStore.lastMergeTag(spark, store).contains(0L))
     // foreachBatch retry: SAME batchId re-delivered — the store must not
     // double-apply the multiplicities (but ranks are still refreshed)
     IncrementalRank.maintain(spark, store, ranksPath, cfg)(delta, batchId = 0L)
-    assert(edgeMap(spark.read.parquet(s"$store/edges")) == afterFirst,
+    assert(edgeMap(EdgeStore.scanNorm(spark, store)) == afterFirst,
       "replayed batch double-applied the delta")
     // the raw store equals the full rebuild exactly (single application)
-    assert(edgeMap(spark.read.parquet(s"$store/raw_edges")) ==
+    assert(edgeMap(EdgeStore.scanRaw(spark, store)) ==
       edgeMap(buildGraph(all).rawEdges.toDF()))
     // a NEW batch id still merges
     IncrementalRank.maintain(spark, store, ranksPath, cfg)(
@@ -296,6 +296,51 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
       IncrementalRank.maintain(spark, store, ranksPath, cfg, runId = "ckpt-B")(
         delta, batchId = 0L)
     }
+    all.unpersist()
+  }
+
+  /** Write a legacy layout-v1 store (separate edges/ + raw_edges/ trees,
+    * meta without a layout column) — the shape every pre-v2 store on disk
+    * has.
+    */
+  private def writeLegacyStore(g: graft.graph.LinkGraph, path: String,
+      buckets: Int): Unit = {
+    def writeTree(df: DataFrame, sub: String): Unit =
+      df.withColumn("bucket", EdgeStore.bucketCol(buckets))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("src"), col("dst"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/$sub")
+    writeTree(g.edges.toDF(), "edges")
+    writeTree(g.rawEdges.toDF(), "raw_edges")
+    g.vertices.write.mode("overwrite").parquet(s"$path/vertices")
+    g.dict.write.mode("overwrite").parquet(s"$path/dict")
+    Seq(buckets).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  test("legacy v1 store: read + mergeDelta keep working; migrate upgrades to v2") {
+    val all = rawEdges(150).persist()
+    val late = pmod(col("src") + col("dst"), lit(5)) === 0
+    val base = all.where(!late)
+    val delta = all.where(late)
+    val store = tmp("inc_legacy")
+    writeLegacyStore(buildGraph(base), store, buckets = 8)
+    assert(EdgeStore.readLayout(spark, store) == 1)
+    // the v1 merge path (two-tree rewrite) is still value-exact
+    EdgeStore.mergeDelta(spark, store, delta)
+    val full = buildGraph(all)
+    assert(edgeMap(EdgeStore.scanNorm(spark, store)) == edgeMap(full.edges.toDF()))
+    assert(edgeMap(EdgeStore.scanRaw(spark, store)) == edgeMap(full.rawEdges.toDF()))
+    // migrate → combined tree, same content, old trees gone
+    EdgeStore.migrate(spark, store)
+    assert(EdgeStore.readLayout(spark, store) == 2)
+    assert(!Files.exists(Paths.get(store, "edges")))
+    assert(!Files.exists(Paths.get(store, "raw_edges")))
+    assert(edgeMap(EdgeStore.scanNorm(spark, store)) == edgeMap(full.edges.toDF()))
+    assert(edgeMap(EdgeStore.scanRaw(spark, store)) == edgeMap(full.rawEdges.toDF()))
+    // a merge AFTER migration takes the single-job combined-tree path
+    EdgeStore.mergeDelta(spark, store, Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"))
+    assert(EdgeStore.read(spark, store).numEdges > 0)
     all.unpersist()
   }
 

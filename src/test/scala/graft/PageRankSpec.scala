@@ -53,6 +53,22 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     a.foreach { case (id, r) => assert(math.abs(b(id) - r) < 1e-12) }
   }
 
+  test("salted prepare releases its cached frames when the run ends") {
+    val (n, edges) = GraphFixtures.g2
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val cfg = PageRankConfig(alpha = 0.5, tol = 0.0, maxIter = 5,
+      saltThreshold = 1, saltBuckets = 4)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (r1, _) = PageRank.run(g, cfg)
+    r1.count()
+    val (r2, _) = PageRank.run(g, cfg)
+    r2.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // each run may leave its own truncated result frame cached, but the
+    // per-run salted edge copy + hub set must not accumulate (Prepared.close)
+    assert(after - before <= 2, s"cached blocks grew $before -> $after")
+  }
+
   test("rank sum is 1 every iteration (trace invariant)") {
     val (n, edges) = GraphFixtures.g1
     val g = GraphFixtures.linkGraph(spark, n, edges)

@@ -373,6 +373,40 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kinds == Set("image", "audio", "video"))
   }
 
+  test("multimodal: JDK codecs really decode — image dims/colors and audio stats recovered") {
+    val f = Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(spark, 30, partitions = 2))
+      .collect().map(x => x.media_id -> x).toMap
+    (0 until 30).foreach { id =>
+      val x = f(id.toLong)
+      (id % 3) match {
+        case 0 => // image features: [w, h, meanR/255, meanG/255, meanB/255]
+          assert(x.kind == "image" && x.ok && x.feat_dim == 5)
+          assert(x.features(0) == (8 + id % 9).toFloat, s"image $id width")
+          assert(x.features(1) == (8 + id % 7).toFloat, s"image $id height")
+          assert(math.abs(x.features(2) - ((id * 7) % 256) / 255.0f) < 1e-6f,
+            s"image $id meanR")
+          assert(math.abs(x.features(4) - ((id * 29) % 256) / 255.0f) < 1e-6f,
+            s"image $id meanB")
+        case 1 => // audio features: [rate, nSamples, meanAbs/32767]
+          assert(x.kind == "audio" && x.ok && x.feat_dim == 3)
+          assert(x.features(0) == 8000.0f, s"audio $id rate")
+          assert(x.features(1) == (800 + (id % 5) * 160).toFloat, s"audio $id n")
+          assert(math.abs(x.features(2) - (1000 + (id % 100) * 10) / 32767.0f) < 1e-6f,
+            s"audio $id amp")
+        case _ => // video: stubbed decode, real plumbing
+          assert(x.kind == "video" && x.feat_dim == 32 && x.frames_sampled == 4)
+      }
+    }
+  }
+
+  test("multimodal: a corrupt image payload yields ok=false, not a crash") {
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3), 4, 4, 0, 0)).toDS()
+    val out = Multimodal.extractFeatures(bad).collect()
+    assert(out.length == 1 && !out(0).ok && out(0).feat_dim == 0)
+  }
+
   test("multimodal: resize plan preserves aspect ratio within bounds") {
     val m = Multimodal.syntheticMedia(spark, 30).toDF()
     val r = Multimodal.resizePlan(m, 256).collect()

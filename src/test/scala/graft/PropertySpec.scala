@@ -100,7 +100,7 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       val store = java.nio.file.Files.createTempDirectory(s"prop-merge$seed").toString
       graft.ingest.EdgeStore.write(graphOf(baseDf), store, buckets = 8)
       graft.ingest.EdgeStore.mergeDelta(spark, store, deltaDf)
-      val got = spark.read.parquet(s"$store/edges")
+      val got = graft.ingest.EdgeStore.scanNorm(spark, store)
         .select(col("src"), col("dst"), col("weight")).collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       val exp = graphOf(baseDf.unionByName(deltaDf)).edges.toDF().collect()
