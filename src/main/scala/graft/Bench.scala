@@ -32,6 +32,12 @@ object Bench {
       .appName(s"graft-bench-$threads")
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.sql.adaptive.enabled", "false") // fixed, known plans
+      // static conf, applied by the FIRST session of the JVM: the default
+      // 100-entry Janino class cache thrashes across a 34-query block
+      // (hundreds of generated classes per pass), so every repeat pass paid
+      // full recompilation — measured 2x on the repeat cost of the
+      // join-heavy queries (cc_components 3.4s thrashed vs 1.8s cached)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.local.dir",
         sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -154,7 +160,7 @@ object Bench {
     // taking each level's best decorrelates "which level" from "when the VM
     // was noisy" — a single sequential sweep can hand one level all the
     // steal and fabricate an arbitrary efficiency in either direction.
-    val repeats = sys.env.getOrElse("GRAFT_BENCH_SCALE_REPEATS", "4").toInt
+    val repeats = sys.env.getOrElse("GRAFT_BENCH_SCALE_REPEATS", "5").toInt
     val store = buildScaleStore(scaleConv, cpus)
     val samples = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
     for (_ <- 1 to repeats; t <- levelThreads)

@@ -2,27 +2,64 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc per-query timing probe against a testdata sf dir.
-  * sbt "runMain graft.tools.QueryProbe <sfDir> <threads> <query> [query…]"
+import graft.SparkEntry
+
+/** Repeated-timing probe for ONE bench query — the per-operator rehearsal
+  * loop (Bench times the whole block; this isolates one operator's cost and
+  * its stage breakdown so a slow query can be located, not guessed at).
+  *
+  * sbt "runMain graft.tools.QueryProbe <query_name> [reps]"
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+  *      GRAFT_PROBE_STAGES=1 to print per-stage wall totals of the last rep.
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val threads = args(1).toInt
-    val names = args.drop(2).toSeq
+    val name = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
-      .master(s"local[$threads]")
-      .config("spark.sql.shuffle.partitions", threads.toString)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000") // match Bench
+      .config("spark.local.dir",
+        sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/tmp"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    var listen = false
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = if (listen) {
+        val si = sc.stageInfo
+        val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        val key = si.name.split(" at ").lastOption.getOrElse(si.name)
+        stageAgg.merge(key, (wall, 1L), (a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+    })
+
+    SparkEntry.benchSetup(spark, sfDir)
+    val fn = SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
+    val times = (1 to reps).map { i =>
+      if (i == reps && sys.env.get("GRAFT_PROBE_STAGES").contains("1")) listen = true
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+      fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name rep $i: $sec%.3f s")
+      sec
+    }
+    println(f"[probe] $name best=${times.min}%.3f s median=${times.sorted.apply(reps / 2)}%.3f s")
+    if (sys.env.get("GRAFT_PROBE_STAGES").contains("1")) {
+      Thread.sleep(300)
+      import scala.jdk.CollectionConverters._
+      println("[probe] stage wall totals of last rep (ms, count):")
+      stageAgg.asScala.toSeq.sortBy(-_._2._1).take(15).foreach { case (k, (w, c)) =>
+        println(f"  $w%6d ms x$c%-3d $k")
+      }
     }
     spark.stop()
   }

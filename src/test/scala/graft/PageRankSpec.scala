@@ -53,6 +53,28 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     a.foreach { case (id, r) => assert(math.abs(b(id) - r) < 1e-12) }
   }
 
+  test("resume migrates a legacy checkpoint that carries an explicit dang column") {
+    // pre-sign-packing snapshots stored (id, dang, rank); resume must fold
+    // the dang bit into the sign and still reach the exact fixed point
+    val (n, edges) = GraphFixtures.g1 // vertex 5 is dangling
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val dir = java.nio.file.Files.createTempDirectory("pr_legacy").toString
+    val cfg = PageRankConfig(alpha = 0.85, tol = 1e-10, maxIter = 300,
+      checkpointDir = Some(dir))
+    val srcs = g.edges.select(org.apache.spark.sql.functions.col("src").as("id"))
+      .distinct().withColumn("nd", org.apache.spark.sql.functions.lit(1))
+    import org.apache.spark.sql.functions._
+    val legacy = g.vertices.join(srcs, Seq("id"), "left")
+      .select(col("id"), when(col("nd").isNull, 1.0).otherwise(0.0).as("dang"))
+      .withColumn("rank", lit(1.0 / n))
+    graft.ingest.TableIO.commitSnapshotWithLineage(legacy, s"$dir/prl", "prl", "iter_", 2)
+    val (ranks, stats) = PageRank.run(g, cfg, runId = "prl", resume = true)
+    assert(stats.iterations > 2, "did not resume from the legacy snapshot")
+    val got = ranks.collect().map(r => r.id -> r.rank).toMap
+    val (expected, _) = DenseOracle.pagerank(n, edges, 0.85, tol = 1e-12)
+    (0 until n).foreach(i => assert(math.abs(got(i.toLong) - expected(i)) < 1e-6))
+  }
+
   test("salted prepare releases its cached frames when the run ends") {
     val (n, edges) = GraphFixtures.g2
     val g = GraphFixtures.linkGraph(spark, n, edges)
