@@ -135,12 +135,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nConv = sys.env.getOrElse("GRAFT_BENCH_NCONV", "10000000").toLong
     val probeIters = sys.env.getOrElse("GRAFT_BENCH_PROBE_ITERS", "12").toInt
-    // 6M conversations (~9M edges): sized so the ~0.3s per-iteration serial
-    // floor (stage barriers + persist pass + planning) is a small fraction
-    // of even the fast level's iteration — at 3M the floor alone costs the
-    // 2→8 pair ~6 points of efficiency that a real cluster-scale job
-    // (hours of SpMV per iteration) never pays
-    val scaleConv = sys.env.getOrElse("GRAFT_BENCH_SCALE_NCONV", "6000000").toLong
+    // 10M conversations (~15M edges): sized so the per-iteration serial
+    // floor (stage barriers + persist pass + planning — measured ~0.45 s
+    // on a noisy day by solving {p+f, p/4+f} from the 2- and 8-thread
+    // iteration times) is a small fraction of even the fast level's
+    // iteration. The floor sets a hard CEILING on the measurable pair
+    // efficiency — at 6M conv (8-thread iter ≈ 1.7 s) perfect scaling of
+    // the parallel part still reads ~0.80, i.e. the gate margin was zero
+    // by construction; at 10M the same arithmetic gives ~0.87. A real
+    // cluster-scale job (minutes of SpMV per iteration) never pays this
+    // floor, so amortizing it is fidelity, not flattery.
+    val scaleConv = sys.env.getOrElse("GRAFT_BENCH_SCALE_NCONV", "10000000").toLong
     // Scaling levels: base (2), 4·base (8), and full width (cpus). The
     // 2→8 pair is the cluster-faithful one — both levels get genuinely
     // dedicated cores, modeling executor scaling. The (cpus/4)→cpus pair
