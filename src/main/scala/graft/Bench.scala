@@ -186,9 +186,12 @@ object Bench {
     }
     needy = uncorroborated()
     while (needy.nonEmpty && retries < maxRetries) {
-      System.err.println(s"[bench] level ${needy.head} best uncorroborated " +
+      // fewest-samples-first: a level whose best never corroborates (truly
+      // bimodal) must not starve the others of the bounded retry budget
+      val pick = needy.minBy(t => samples.count(_._1 == t))
+      System.err.println(s"[bench] level $pick best uncorroborated " +
         s"(possible CPU-steal front) — re-measuring")
-      samples += scaleSample(needy.head, store, probeIters)
+      samples += scaleSample(pick, store, probeIters)
       retries += 1
       needy = uncorroborated()
     }
@@ -266,9 +269,11 @@ object Bench {
     var qRetried = 0
     var qNeedy = qUncorroborated()
     while (qNeedy.nonEmpty && qRetried < qRetries) {
-      System.err.println(s"[bench] query ${qNeedy.head} best uncorroborated " +
+      // fewest-samples-first, same rationale as the scaling retry loop
+      val pick = qNeedy.minBy(n => qSamples(n).size)
+      System.err.println(s"[bench] query $pick best uncorroborated " +
         "(possible CPU-steal front) — re-measuring")
-      runQuery(qNeedy.head)
+      runQuery(pick)
       qRetried += 1
       qNeedy = qUncorroborated()
     }

@@ -75,7 +75,18 @@ object Triangles {
     * hubs); the three corners of each enumerated triangle are exploded back
     * out, so attribution is orientation-invariant.
     */
-  def perVertex(edges: Dataset[Edge], vertices: DataFrame): DataFrame = {
+  def perVertex(edges: Dataset[Edge], vertices: DataFrame): DataFrame =
+    perVertexTruncated(edges, vertices).df
+
+  /** Like `perVertex`, but returns the truncation handle of the cached
+    * per-corner counts alongside the result frame (the engine's standard
+    * handle pattern — PageRank/LabelPropagation do the same for their
+    * iterates): a long-lived service calling this repeatedly unpersists
+    * `handle` once it is done with the result, instead of waiting on the
+    * ContextCleaner to collect the checkpoint blocks.
+    */
+  def perVertexTruncated(edges: Dataset[Edge],
+      vertices: DataFrame): org.apache.spark.sql.GraftSqlInternals.Truncated = {
     val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
     val oriented = orient(und).persist(StorageLevel.MEMORY_AND_DISK)
@@ -84,12 +95,13 @@ object Triangles {
     // eager: the per-corner counts must materialize BEFORE the inputs are
     // unpersisted, or the caller's later action re-derives the whole wedge
     // join from scratch
-    val counts = enumerate(oriented)
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(expr("count(1)").as("triangles"))
-      .localCheckpoint(true)
+    val counts = org.apache.spark.sql.GraftSqlInternals.truncate(
+      enumerate(oriented)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        .groupBy(col("id")).agg(expr("count(1)").as("triangles")))
     oriented.unpersist(false)
-    vertices.join(counts, Seq("id"), "left")
+    val result = vertices.join(counts.df, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+    org.apache.spark.sql.GraftSqlInternals.Truncated(result, counts.handle)
   }
 }

@@ -130,21 +130,32 @@ object EdgeStore {
     */
   def migrate(spark: SparkSession, path: String): Unit = {
     requireConsistent(spark, path)
-    if (readLayout(spark, path) >= 2) return
-    val buckets = readBuckets(spark, path)
+    // marker taken BEFORE the layout read, mirroring mergeDelta: the
+    // exclusive create is the actual mutual exclusion between a migrate and
+    // a concurrent merge — checking the layout first would leave a window
+    // where a merge starts against the tree this migrate is about to delete
     val (mfs, mpath) = hfs(spark, markerPath(path))
     mfs.create(mpath, false).close()
-    val unioned =
-      scanTbl(spark, path, "norm", 1).drop("bucket").withColumn("tbl", lit("norm"))
-        .unionByName(
-          scanTbl(spark, path, "raw", 1).drop("bucket").withColumn("tbl", lit("raw")))
-    writeData(unioned, path, buckets)
-    writeMeta(spark, path, buckets)
-    for (sub <- Seq("edges", "raw_edges")) {
-      val (fs, p) = hfs(spark, s"$path/$sub")
-      if (fs.exists(p)) fs.delete(p, true)
+    var wrote = false
+    try {
+      if (readLayout(spark, path) >= 2) { mfs.delete(mpath, false); return }
+      val buckets = readBuckets(spark, path)
+      val unioned =
+        scanTbl(spark, path, "norm", 1).drop("bucket").withColumn("tbl", lit("norm"))
+          .unionByName(
+            scanTbl(spark, path, "raw", 1).drop("bucket").withColumn("tbl", lit("raw")))
+      wrote = true
+      writeData(unioned, path, buckets)
+      writeMeta(spark, path, buckets)
+      for (sub <- Seq("edges", "raw_edges")) {
+        val (fs, p) = hfs(spark, s"$path/$sub")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      mfs.delete(mpath, false)
+    } catch { case t: Throwable =>
+      if (!wrote) mfs.delete(mpath, false)
+      throw t
     }
-    mfs.delete(mpath, false)
   }
 
   // ---- merge commit protocol ----
@@ -237,6 +248,18 @@ object EdgeStore {
     import org.apache.spark.sql.{GraftSqlInternals => GI}
     import spark.implicits._
     requireConsistent(spark, path)
+    // in-progress marker, taken BEFORE the layout read and the store scans:
+    // exclusive create — a concurrent merge or migrate fails here instead of
+    // interleaving (a migrate completing between a layout read and the
+    // rewrite would make this merge recreate the deleted v1 trees and the
+    // delta would be invisible to every v2 reader). Failures before the
+    // first write release the marker (the store is untouched); from the
+    // first write on, a crash leaves it so read()/mergeDelta refuse the
+    // possibly-inconsistent store.
+    val (mfs, mpath) = hfs(spark, markerPath(path))
+    mfs.create(mpath, false).close()
+    var wroteAnything = false
+    try {
     val buckets = readBuckets(spark, path)
     val layout = readLayout(spark, path)
     // bucket-membership bitmask: rides as a `bit_or` observe accumulator on
@@ -312,12 +335,11 @@ object EdgeStore {
     val merged = mergedT.df
 
     // Rewrite only the affected bucket dirs (dynamic partition overwrite);
-    // the checkpoint above bounds the rewrite to affected-bucket bytes.
-    // in-progress marker: exclusive create — a concurrent merge fails here
-    // instead of interleaving rewrites; removed only after the rewrite(s),
-    // the emptied-bucket cleanup, and the vertex append are durable
-    val (mfs, mpath) = hfs(spark, markerPath(path))
-    mfs.create(mpath, false).close()
+    // the checkpoint above bounds the rewrite to affected-bucket bytes. The
+    // marker (taken at entry) stays on disk through the rewrites, the
+    // emptied-bucket cleanup, and the vertex append, and is removed only
+    // once all are durable.
+    wroteAnything = true
     if (layout >= 2) {
       // combined tree: BOTH tables land in ONE rewrite job — the merged
       // union already carries the tbl discriminator
@@ -384,6 +406,12 @@ object EdgeStore {
     affT.handle.unpersist(false); mergedT.handle.unpersist(false)
     newT.handle.unpersist(false); delta.unpersist()
     MergeStats(nTouched, affBuckets.size, buckets, nNew)
+    } catch { case t: Throwable =>
+      // nothing was written yet → the store is untouched; release the
+      // marker so the failure is not misreported as a crashed half-commit
+      if (!wroteAnything) mfs.delete(mpath, false)
+      throw t
+    }
   }
 
   def read(spark: SparkSession, path: String): LinkGraph = {

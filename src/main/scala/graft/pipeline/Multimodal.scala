@@ -112,7 +112,11 @@ object Multimodal {
     * Features: [width, height, meanR/255, meanG/255, meanB/255].
     */
   private def decodeImage(row: MediaRow): MediaFeatures = {
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(row.payload))
+    // ImageIO returns null for unrecognized bytes but THROWS on recognized-
+    // but-truncated streams — both are just a bad row, not a task failure
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(row.payload))
+      catch { case _: java.io.IOException => null }
     if (img == null)
       MediaFeatures(row.media_id, row.kind, 0, Array.empty, 0, ok = false)
     else {
@@ -131,25 +135,38 @@ object Multimodal {
 
   /** Decode one audio payload (WAV/PCM 16-bit): sample count + amplitude
     * statistics. Features: [sampleRate, nSamples, meanAbs/32767].
+    * Undecodable or empty payloads yield ok=false (same contract as the
+    * image path) — one corrupt row must not fail the whole partition task.
     */
   private def decodeAudio(row: MediaRow): MediaFeatures = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(row.payload))
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(row.payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException =>
+          return MediaFeatures(row.media_id, row.kind, 0, Array.empty, 0,
+            ok = false)
+      }
     try {
       val fmt = in.getFormat
       val bytes = in.readAllBytes()
       val n = bytes.length / 2
-      var sumAbs = 0L
-      var i = 0
-      while (i < n) {
-        val lo = bytes(2 * i) & 0xff
-        val hi = bytes(2 * i + 1).toInt
-        sumAbs += math.abs((hi << 8) | lo)
-        i += 1
+      if (n == 0)
+        MediaFeatures(row.media_id, row.kind, 0, Array.empty, 0, ok = false)
+      else {
+        var sumAbs = 0L
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt
+          sumAbs += math.abs((hi << 8) | lo)
+          i += 1
+        }
+        val feats = Array(fmt.getSampleRate, n.toFloat,
+          (sumAbs.toDouble / n / 32767.0).toFloat)
+        MediaFeatures(row.media_id, row.kind, feats.length, feats, 1, ok = true)
       }
-      val feats = Array(fmt.getSampleRate, n.toFloat,
-        (sumAbs.toDouble / n / 32767.0).toFloat)
-      MediaFeatures(row.media_id, row.kind, feats.length, feats, 1, ok = true)
     } finally in.close()
   }
 

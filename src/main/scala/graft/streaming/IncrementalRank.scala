@@ -65,13 +65,26 @@ object IncrementalRank {
       batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
       val storedRun = EdgeStore.lastMergeRun(spark, storePath)
-      if (runId.nonEmpty)
+      val storedTag = EdgeStore.lastMergeTag(spark, storePath)
+      if (runId.nonEmpty) {
         require(storedRun.forall(_ == runId),
           s"edge store $storePath was last merged by streaming run " +
             s"'${storedRun.get}' but this query is run '$runId': its batchId " +
             "cursor does not apply across runs (fresh checkpoints restart " +
             "batchIds at 0) — reset the store together with the query " +
             "checkpoint, or resume the original checkpoint")
+        // a store carrying an UNSCOPED cursor (tag without run identity —
+        // merged by a legacy empty-runId caller) is just as ambiguous as a
+        // foreign run: its high-water mark would silently swallow this
+        // run's first batches below it. Fail loudly here too, not only
+        // when the previous run happened to record an identity.
+        require(storedRun.nonEmpty || storedTag.isEmpty,
+          s"edge store $storePath carries a batchId cursor " +
+            s"(${storedTag.get}) recorded WITHOUT a run identity, so it " +
+            s"cannot be validated against run '$runId' — reset the store " +
+            "together with the query checkpoint, or keep maintaining it " +
+            "with an empty runId")
+      }
       val prev = // first batch: no ranks yet → cold start; other errors surface
         try Some(spark.read.parquet(ranksPath))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
@@ -81,7 +94,7 @@ object IncrementalRank {
       // records batchId as its commit tag; a batch at or below the recorded
       // cursor only refreshes the ranks (idempotent), which also heals a
       // crash that landed between the store merge and the ranks write.
-      if (EdgeStore.lastMergeTag(spark, storePath).exists(_ >= batchId)) {
+      if (storedTag.exists(_ >= batchId)) {
         val g = EdgeStore.read(spark, storePath)
         val (ranks, _) = PageRank.run(g, cfg, warmStart = prev)
         g.edges.unpersist(); g.vertices.unpersist()

@@ -31,10 +31,12 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val stageAgg = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-    var listen = false
+    // read by the listener-bus thread — needs a happens-before edge or the
+    // dispatch thread may never observe the main thread's write
+    val listen = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = if (listen) {
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = if (listen.get) {
         val si = sc.stageInfo
         val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
         val key = si.name.split(" at ").lastOption.getOrElse(si.name)
@@ -45,7 +47,7 @@ object QueryProbe {
     SparkEntry.benchSetup(spark, sfDir)
     val fn = SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
     val times = (1 to reps).map { i =>
-      if (i == reps && sys.env.get("GRAFT_PROBE_STAGES").contains("1")) listen = true
+      if (i == reps && sys.env.get("GRAFT_PROBE_STAGES").contains("1")) listen.set(true)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9

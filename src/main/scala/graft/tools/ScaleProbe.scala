@@ -38,10 +38,13 @@ object ScaleProbe {
     val threads = args(1).toInt
     val reps = if (args.length > 2) args(2).toInt else 2
     val iters = if (args.length > 3) args(3).toInt else 12
-    val nConv = if (args.length > 4) args(4).toLong else 6000000L
+    // default matches Bench's GRAFT_BENCH_SCALE_NCONV so A/B probes
+    // replicate the gate's configuration (the probe size changes the
+    // serial-floor/efficiency arithmetic — see Bench.scala)
+    val nConv = if (args.length > 4) args(4).toLong else 10000000L
 
     if (!new java.io.File(store + "/vertices").exists()) {
-      val s = session(32)
+      val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       val turns = TranscriptGen.generate(s, nConv)
       val g = GraphOps.fromTranscripts(turns, denseIds = false)
       graft.ingest.EdgeStore.write(g, store, buckets = 64)

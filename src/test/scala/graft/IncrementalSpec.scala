@@ -299,6 +299,41 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     all.unpersist()
   }
 
+  test("maintain scoped by runId refuses a legacy UNSCOPED cursor (tag without run)") {
+    val all = rawEdges(60).persist()
+    val store = tmp("inc_runid_legacy")
+    val ranksPath = tmp("inc_runid_legacy_ranks") + "/ranks"
+    EdgeStore.write(buildGraph(all), store, buckets = 4)
+    val cfg = PageRankConfig(tol = 1e-8, maxIter = 200)
+    val delta = Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight")
+    // legacy caller: empty runId records a tag but no run identity
+    IncrementalRank.maintain(spark, store, ranksPath, cfg)(delta, batchId = 5L)
+    assert(EdgeStore.lastMergeTag(spark, store).contains(5L))
+    assert(EdgeStore.lastMergeRun(spark, store).isEmpty)
+    // a scoped run binding to that store cannot validate the cursor — its
+    // first batches (0..5) would be silently swallowed; must fail loudly
+    intercept[IllegalArgumentException] {
+      IncrementalRank.maintain(spark, store, ranksPath, cfg, runId = "ckpt-B")(
+        delta, batchId = 0L)
+    }
+    all.unpersist()
+  }
+
+  test("a merge that fails before any write releases the in-progress marker") {
+    val all = rawEdges(40)
+    val store = tmp("inc_prewrite_fail")
+    EdgeStore.write(buildGraph(all), store, buckets = 4)
+    // delta missing the weight column → analysis error well before any
+    // rewrite; the marker must be released (the store is untouched) instead
+    // of misreporting a crashed half-commit
+    intercept[Exception] {
+      EdgeStore.mergeDelta(spark, store, Seq((1L, 2L)).toDF("src", "dst"))
+    }
+    val g = EdgeStore.read(spark, store) // must not refuse the store
+    assert(g.numEdges > 0)
+    g.edges.unpersist(); g.vertices.unpersist()
+  }
+
   /** Write a legacy layout-v1 store (separate edges/ + raw_edges/ trees,
     * meta without a layout column) — the shape every pre-v2 store on disk
     * has.

@@ -407,6 +407,17 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length == 1 && !out(0).ok && out(0).feat_dim == 0)
   }
 
+  test("multimodal: a corrupt audio payload yields ok=false, not a crash") {
+    import spark.implicits._
+    val bad = Seq(
+      // non-RIFF bytes → UnsupportedAudioFileException inside the decoder
+      Multimodal.MediaRow(98L, "audio", Array[Byte](1, 2, 3, 4), 0, 0, 8000, 10),
+      // empty payload
+      Multimodal.MediaRow(97L, "audio", Array.empty[Byte], 0, 0, 8000, 0)).toDS()
+    val out = Multimodal.extractFeatures(bad).collect()
+    assert(out.length == 2 && out.forall(r => !r.ok && r.feat_dim == 0))
+  }
+
   test("multimodal: resize plan preserves aspect ratio within bounds") {
     val m = Multimodal.syntheticMedia(spark, 30).toDF()
     val r = Multimodal.resizePlan(m, 256).collect()
