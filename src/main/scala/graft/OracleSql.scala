@@ -206,6 +206,26 @@ FROM und2 e1
 JOIN und2 e2 ON e1.u = e2.u AND e1.v < e2.v
 JOIN und2 e3 ON e3.u = e1.v AND e3.v = e2.v"""
 
+  /** Per-vertex triangle participation. The engine enumerates each triangle
+    * once under its degree orientation; the corner multiset is
+    * orientation-invariant, so a plain u<v<w enumeration agrees exactly.
+    */
+  val trianglesPerVertex: String =
+    s"""$graphPrelude,
+und2 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges WHERE src <> dst),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und2 e1
+  JOIN und2 e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN und2 e3 ON e3.u = e1.v AND e3.v = e2.v),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b AS id FROM tri
+  UNION ALL SELECT c AS id FROM tri),
+pc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY id)
+SELECT v.id, CAST(COALESCE(pc.triangles, 0) AS BIGINT) AS triangles
+FROM verts v LEFT JOIN pc ON v.id = pc.id"""
+
   // ---- relational coverage (TPC-H-ish) ----
 
   val aggPushdown: String = """
@@ -352,29 +372,18 @@ FROM d a JOIN d b ON a.id < b.id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold"""
 
-  /** Pin+verify oracle for an engine-specific candidate stage (simhash):
-    * the (a, b) pair list is the engine's DETERMINISTIC candidate output at
-    * sf0.01 (pinned below), and DuckDB RE-COMPUTES the exact char-shingle
-    * Jaccard of every pinned pair from the raw documents — soundness of
-    * every emitted value is verified from first principles; membership
-    * drift (a changed hash kernel, bucketing, or threshold) changes the
-    * row set and fails the rows/hash compare.
+  /** Exhaustive all-pairs embedding-cosine near-dup twin (the m3 oracle):
+    * 500 vectors → 125k pairs is trivial for DuckDB, and the engine's
+    * query-level banding is recall-complete at this scale (63 single-plane
+    * bands), so the engine output must EQUAL this ground truth — no
+    * engine-pinned membership anywhere in the check.
     */
-  def pinnedShingleJaccard(pairs: Seq[(Long, Long)], k: Int, dp: Int): String = {
-    val vals = pairs.map { case (a, b) => s"($a, $b)" }.mkString(", ")
-    s"""
-WITH d AS MATERIALIZED (
-  SELECT doc_id AS id,
-         list_distinct(list_transform(range(1, GREATEST(LENGTH(norm) - ${k - 1}, 0) + 1),
-           i -> norm[i : i + ${k - 1}])) AS sh
-  FROM (SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm FROM documents) z
-  WHERE LENGTH(norm) >= $k),
-pins(a, b) AS (VALUES $vals)
-SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
-       ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
-         len(list_distinct(list_concat(da.sh, db.sh))), $dp) AS jaccard
-FROM pins p JOIN d da ON da.id = p.a JOIN d db ON db.id = p.b"""
-  }
+  def cosinePairsExhaustive(threshold: Double): String = s"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= $threshold"""
 
   /** Pin+verify oracle for ANN top-k (LSH / IVF): (qid, id, rk) membership
     * is the engine's deterministic output (deterministic hyperplanes /
@@ -392,30 +401,16 @@ SELECT CAST(p.qid AS BIGINT) AS qid, CAST(p.id AS BIGINT) AS id,
 FROM pins p JOIN e q ON q.vec_id = p.qid JOIN e c ON c.vec_id = p.id"""
   }
 
-  /** Pin+verify oracle for embedding-cosine near-dup pairs (same protocol
-    * as `pinnedKnn`).
-    */
-  def pinnedCosinePairs(pairs: Seq[(Long, Long)]): String = {
-    val vals = pairs.map { case (a, b) => s"($a, $b)" }.mkString(", ")
-    s"""
-WITH pins(a, b) AS (VALUES $vals),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
-       ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos
-FROM pins p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b"""
-  }
-
-  /** Engine outputs pinned for the pin+verify oracles — regenerate with
+  /** Engine outputs pinned for the REMAINING pin+verify oracles (m2/m4 ANN
+    * top-k, whose quality is additionally cross-checked against exact
+    * ground truth by m5's recall oracle) — regenerate with
     * `tools/gen_pins.py` after any change to the hash kernels, LSH/IVF
     * parameters, or thresholds (the queries are deterministic functions of
     * the sf0.01 testdata, independent of partitioning and core count).
+    * d2/m3 retired their pins in round 5: their oracles are exhaustive
+    * all-pairs twins.
     */
   object Pins {
-    val d2Simhash: Seq[(Long, Long)] = Seq(
-      (8, 245), (45, 413), (58, 293), (61, 185), (70, 447), (98, 290),
-      (107, 387), (120, 332), (166, 323), (267, 413), (285, 301), (326, 457),
-      (393, 420), (435, 486), (458, 462)).map { case (a, b) => (a.toLong, b.toLong) }
-
     val m2Lsh: Seq[(Long, Long, Int)] = Seq(
       (0, 257, 1), (0, 270, 2), (0, 130, 3), (0, 266, 4), (0, 351, 5),
       (1, 210, 1), (1, 129, 2), (1, 242, 3), (1, 466, 4), (1, 367, 5),
@@ -441,13 +436,6 @@ FROM pins p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b"""
       (8, 497, 1), (8, 173, 2), (8, 207, 3), (8, 321, 4), (8, 326, 5),
       (9, 49, 1), (9, 489, 2), (9, 414, 3), (9, 198, 4), (9, 259, 5))
       .map { case (q, i, r) => (q.toLong, i.toLong, r) }
-
-    val m3Cosine: Seq[(Long, Long)] = Seq(
-      (24, 298), (32, 200), (35, 351), (44, 301), (70, 210), (75, 256),
-      (84, 190), (131, 456), (150, 152), (159, 202), (183, 399), (191, 431),
-      (197, 318), (198, 468), (207, 326), (234, 384), (238, 287), (290, 325),
-      (325, 331), (334, 382), (335, 439), (350, 395), (350, 479), (387, 388))
-      .map { case (a, b) => (a.toLong, b.toLong) }
   }
 
   /** Twin of TextAnalysis.fingerprintMd5 + qualityScore: MD5 of the
@@ -495,15 +483,19 @@ WITH m AS (
   FROM range(0, $n))
 SELECT media_id, kind,
        CAST(CASE kind WHEN 'image' THEN 5 WHEN 'audio' THEN 3
-                      ELSE ${frameCount * 8} END AS BIGINT) AS feat_dim,
-       CAST(CASE kind WHEN 'video' THEN $frameCount ELSE 1 END AS BIGINT) AS frames_sampled,
+                      ELSE 2 + 3 * LEAST($frameCount, 2 + media_id % 4) END AS BIGINT) AS feat_dim,
+       CAST(CASE kind WHEN 'video' THEN LEAST($frameCount, 2 + media_id % 4)
+                      ELSE 1 END AS BIGINT) AS frames_sampled,
        TRUE AS ok,
        CASE kind WHEN 'image' THEN CAST(8 + media_id % 9 AS DOUBLE)
-                 WHEN 'audio' THEN 8000.0 END AS d1,
+                 WHEN 'audio' THEN 8000.0
+                 ELSE CAST(8 + media_id % 5 AS DOUBLE) END AS d1,
        CASE kind WHEN 'image' THEN CAST(8 + media_id % 7 AS DOUBLE)
-                 WHEN 'audio' THEN CAST(800 + (media_id % 5) * 160 AS DOUBLE) END AS d2,
+                 WHEN 'audio' THEN CAST(800 + (media_id % 5) * 160 AS DOUBLE)
+                 ELSE CAST(6 + media_id % 3 AS DOUBLE) END AS d2,
        CASE kind WHEN 'image' THEN CAST((media_id * 7) % 256 AS DOUBLE)
-                 WHEN 'audio' THEN CAST(1000 + (media_id % 100) * 10 AS DOUBLE) END AS d3
+                 WHEN 'audio' THEN CAST(1000 + (media_id % 100) * 10 AS DOUBLE)
+                 ELSE CAST((media_id * 7) % 256 AS DOUBLE) END AS d3
 FROM m"""
 
   /** Recall@k cross-check for the ANN indexes: DuckDB computes the EXACT

@@ -186,6 +186,13 @@ object SparkEntry {
       Seq(Triangles.count(g.edges)).toDF("triangles")
     }),
 
+    // per-vertex triangle participation, on the same degree-oriented wedge
+    // kernel as the total count (hub-safe at scale)
+    "tc2_triangles_pervertex" -> ((s, dir) => {
+      val g = TestdataGraph.linkGraph(s, dir)
+      Triangles.perVertex(g.edges, g.vertices)
+    }),
+
     // ---- relational coverage (agg/join/window/set-ops/sessionize) ----
     "r1_agg_pushdown" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -287,12 +294,17 @@ object SparkEntry {
       Dedup.minhashNearDup(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
 
-    // simhash candidates re-verified with exact char-shingle Jaccard: the
-    // emitted pairs are value-exact against a DuckDB re-computation of the
-    // Jaccard on the (deterministic) candidate set — soundness is oracled,
-    // completeness of the hamming stage stays engine-side (PipelineSpec)
+    // simhash-BLOCKED exact-Jaccard near-dup, value-exact vs the SAME
+    // exhaustive all-pairs DuckDB twin as d1: with 4-bit chunks the
+    // pigeonhole bound covers hamming ≤ 15, which at this scale catches
+    // every J ≥ 0.5 pair (verified exhaustively — blocking recall 1.0,
+    // guarded by a PipelineSpec test), so with the hamming filter wide open
+    // the output equals the exhaustive ground truth and the oracle needs NO
+    // engine-pinned candidate list. The hamming-≤-3 sharpening (the
+    // production fast path) keeps its coverage in PipelineSpec.
     "d2_simhash_neardup" -> ((s, dir) =>
-      Dedup.simhashNearDup(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
+      Dedup.simhashNearDup(s.read.parquet(s"$dir/documents.parquet"),
+        maxHamming = 63, threshold = 0.5, chunkBits = 4)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
 
     "d3_ngram_jaccard" -> ((s, dir) =>
@@ -346,10 +358,14 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("embedding"))
       // testdata embeddings are near-orthogonal random vectors (max pairwise
-      // cosine ≈ 0.51) — 0.4 keeps the operator observable at this scale,
-      // and 8 bands × 6 planes gives ~40% per-pair recall at cos 0.4
-      // (98% at the cos ≥ 0.9 pairs the operator exists for)
-      Similarity.cosineNearDup(emb, threshold = 0.4, nBands = 8, planesPerBand = 6)
+      // cosine ≈ 0.51) — 0.4 keeps the operator observable at this scale.
+      // 63 bands × 1 plane makes the deterministic banding recall-complete
+      // here (a cos ≥ 0.4 pair misses all 63 single-plane bands with
+      // probability ≤ 0.37^63 ≈ 1e-27; verified exhaustively), so the
+      // output equals the all-pairs ground truth and the DuckDB twin needs
+      // no engine-pinned membership. Production banding (fewer, wider
+      // bands) keeps its recall coverage in PipelineSpec.
+      Similarity.cosineNearDup(emb, threshold = 0.4, nBands = 63, planesPerBand = 1)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
     }),
 
@@ -367,22 +383,21 @@ object SparkEntry {
         .select(col("src"), col("dst"), round(col("weight"), 8).as("weight"))
     }),
 
-    // ---- multimodal: REAL JDK-codec decode for image (PNG/ImageIO) and
-    // audio (WAV/AudioSystem); video stays stubbed (no codec in the JDK).
-    // d1/d2/d3 are decoded statistics — image (w, h, meanR/255), audio
-    // (rate, nSamples, meanAbs/32767) — that DuckDB reproduces in closed
+    // ---- multimodal: REAL decode for ALL THREE kinds — image (PNG/
+    // ImageIO), audio (WAV/AudioSystem), video (uncompressed RIFF/AVI, DIB
+    // frames, hand-rolled parser). d1/d2/d3 are decoded statistics — image
+    // (w, h, meanR), audio (rate, nSamples, meanAbs), video (w, h,
+    // meanR of the first sampled frame) — that DuckDB reproduces in closed
     // form from media_id, so the oracle fails unless the decode really ran.
     "mm1_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 200)
-      def d(i: Int) = when(col("kind") === "video", lit(null).cast("double"))
-        .otherwise(round(element_at(col("features"), i).cast("double"), 6))
+      def d(i: Int) = round(element_at(col("features"), i).cast("double"), 6)
       // d3 back in NATIVE units (0-255 pixel level / PCM amplitude): the
       // float32 feature times the scale rounds exactly to the integer mean,
       // where the normalized float32 itself can cross a decimal-rounding
       // boundary the oracle's float64 doesn't
-      val d3 = when(col("kind") === "video", lit(null).cast("double"))
-        .otherwise(round(element_at(col("features"), 3).cast("double") *
-          when(col("kind") === "image", lit(255.0)).otherwise(lit(32767.0))))
+      val d3 = round(element_at(col("features"), 3).cast("double") *
+        when(col("kind") === "audio", lit(32767.0)).otherwise(lit(255.0)))
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"), col("feat_dim").cast("long").as("feat_dim"),
           col("frames_sampled").cast("long").as("frames_sampled"), col("ok"),
@@ -455,18 +470,21 @@ object SparkEntry {
     "a4_arnoldi" -> OracleSql.pagerankDeep(160, 0.85, 6),
     "t4_langid" -> OracleSql.langId,
     "d3_ngram_jaccard" -> OracleSql.ngramJaccard(3, 0.5, 1000, 6),
-    // d1: exhaustive all-pairs twin (completeness + soundness);
-    // d2/m2/m3/m4: pin+verify (membership pinned to the deterministic
-    // engine output, every value re-computed by DuckDB from raw data)
+    // d1/d2/m3: EXHAUSTIVE all-pairs twins (completeness + soundness — the
+    // query-level blocking params are recall-complete at this scale, see
+    // the query comments); m2/m4: pin+verify (membership pinned to the
+    // deterministic engine output, every value re-computed by DuckDB from
+    // raw data) + the m5 recall cross-check
     "d1_minhash_neardup" -> OracleSql.charShingleJaccard(5, 0.5, 6),
-    "d2_simhash_neardup" -> OracleSql.pinnedShingleJaccard(OracleSql.Pins.d2Simhash, 5, 6),
+    "d2_simhash_neardup" -> OracleSql.charShingleJaccard(5, 0.5, 6),
     "m2_knn_lsh" -> OracleSql.pinnedKnn(OracleSql.Pins.m2Lsh),
     "m4_knn_ivf" -> OracleSql.pinnedKnn(OracleSql.Pins.m4Ivf),
-    "m3_neardup_cosine" -> OracleSql.pinnedCosinePairs(OracleSql.Pins.m3Cosine),
+    "m3_neardup_cosine" -> OracleSql.cosinePairsExhaustive(0.4),
     "k3_toprank" -> OracleSql.topRank(5, 0.85, 10),
     "cc_components" -> OracleSql.connectedComponents,
     "lp_labelprop3" -> OracleSql.labelProp(3),
     "tc_triangles" -> OracleSql.triangles,
+    "tc2_triangles_pervertex" -> OracleSql.trianglesPerVertex,
     "r1_agg_pushdown" -> OracleSql.aggPushdown,
     "r2_join_agg" -> OracleSql.joinAgg,
     "r3_window_topk" -> OracleSql.windowTopK,

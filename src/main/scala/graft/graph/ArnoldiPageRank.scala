@@ -79,6 +79,7 @@ object ArnoldiPageRank {
     // operator becomes M x = αPᵀx + (α·dᵀx + (1−α)·eᵀx)·v
     val hasV = personalization.isDefined
     val vCol = if (hasV) col("v") else lit(1.0 / n)
+    graft.util.ShuffleWidth.withWidth(spark, g.edges.rdd.getNumPartitions) {
     val prep = PageRank.prepare(g,
       PageRankConfig(saltThreshold = cfg.saltThreshold, saltBuckets = cfg.saltBuckets))
 
@@ -99,10 +100,18 @@ object ArnoldiPageRank {
     def mMult(frame: DataFrame, xc: String, ex: Double, dx: Double): DataFrame = {
       val yraw = PageRank.spmv(prep,
         frame.select(col("id"), col(xc).as("rank"))).withColumnRenamed("y", "yraw")
+      // teleport (and every other measured scalar below) travels through
+      // the codegen REFERENCES array (stableLit), never an inline literal:
+      // parallel-sum reduction order perturbs these doubles in the last ulp
+      // between runs, so a `lit` would change the generated source every
+      // run and force a full Janino recompile of every Arnoldi-step stage
+      // (~95 classes per solve — measured as the dominant, environment-
+      // sensitive cost of this solver before the fix)
       val teleport = alpha * dx + (1 - alpha) * ex
       frame.join(yraw.hint("shuffle_hash"), Seq("id"), "left")
         .withColumn("w",
-          lit(alpha) * coalesce(col("yraw"), lit(0.0)) + lit(teleport) * vCol)
+          lit(alpha) * coalesce(col("yraw"), lit(0.0)) +
+            GraftSqlInternals.stableLit(teleport) * vCol)
         .drop("yraw")
     }
 
@@ -142,7 +151,8 @@ object ArnoldiPageRank {
       val t0 = System.nanoTime()
       val h = Array.ofDim[Double](k + 1, k) // (k+1)×k, ppagerank.cc:527
       // v0 = x/‖x‖₂ (ppagerank.cc:556-559)
-      var frame = x.withColumn("v0", col("x") / lit(xNorm2)).drop("x")
+      var frame = x.withColumn("v0",
+        col("x") / GraftSqlInternals.stableLit(xNorm2)).drop("x")
       var ev = ex / xNorm2 // eᵀv_j
       var dv = dx / xNorm2 // dᵀv_j
       val evs = Array.fill(k + 1)(0.0); evs(0) = ev
@@ -185,9 +195,10 @@ object ArnoldiPageRank {
             breakdown = true // happy breakdown: Krylov space exhausted
           } else {
             val gCol = (0 to j).foldLeft(col("w")) { (acc, i) =>
-              acc - lit(h(i)(j)) * col(s"v$i")
+              acc - GraftSqlInternals.stableLit(h(i)(j)) * col(s"v$i")
             }
-            frame = frame.withColumn(s"v${j + 1}", gCol / lit(beta)).drop("w")
+            frame = frame.withColumn(s"v${j + 1}",
+              gCol / GraftSqlInternals.stableLit(beta)).drop("w")
             evs(j + 1) = (ew - (0 to j).map(i => h(i)(j) * evs(i)).sum) / beta
             dvs(j + 1) = (dw - (0 to j).map(i => h(i)(j) * dvs(i)).sum) / beta
           }
@@ -207,7 +218,7 @@ object ArnoldiPageRank {
           // c_i = vᵢᵀg (≈0 in exact arithmetic), fold them back into H, and
           // measure ‖g‖², eᵀg, dᵀg directly in the same aggregate
           val gCol = (0 to j).foldLeft(col("w")) { (acc, i) =>
-            acc - lit(h(i)(j)) * col(s"v$i")
+            acc - GraftSqlInternals.stableLit(h(i)(j)) * col(s"v$i")
           }
           frame = frame.withColumn("g", gCol).drop("w")
           val dotCols2 = (0 to j).map(i => sum(col(s"v$i") * col("g"))) ++
@@ -232,9 +243,10 @@ object ArnoldiPageRank {
             breakdown = true // happy breakdown: Krylov space exhausted
           } else {
             val g2Col = (0 to j).foldLeft(col("g")) { (acc, i) =>
-              acc - lit(c(i)) * col(s"v$i")
+              acc - GraftSqlInternals.stableLit(c(i)) * col(s"v$i")
             }
-            frame = frame.withColumn(s"v${j + 1}", g2Col / lit(beta)).drop("g")
+            frame = frame.withColumn(s"v${j + 1}",
+              g2Col / GraftSqlInternals.stableLit(beta)).drop("g")
             evs(j + 1) = (eg - (0 to j).map(i => c(i) * evs(i)).sum) / beta
             dvs(j + 1) = (dg - (0 to j).map(i => c(i) * dvs(i)).sum) / beta
           }
@@ -251,27 +263,38 @@ object ArnoldiPageRank {
       val vmin = Array.tabulate(m)(i => vMat(i)(m - 1)) // smallest σ's right vector
 
       // x ← Σ vmin_i · v_i (VecMAXPY, ppagerank.cc:645-647)
-      val xCol = (0 until m).map(i => lit(vmin(i)) * col(s"v$i"))
+      val xCol = (0 until m).map(i =>
+          GraftSqlInternals.stableLit(vmin(i)) * col(s"v$i"))
         .reduce((a, b) => a + b)
-      val exNew = (0 until m).map(i => vmin(i) * evs(i)).sum
-      val dxNew = (0 until m).map(i => vmin(i) * dvs(i)).sum
-      var xf = frame.withColumn("x", xCol)
-        .select(carry :+ col("x"): _*)
-      // convergence: δ = ‖Mx − x‖₁/‖x‖₁ (ppagerank.cc:649-657) + next sums
-      xf = mMult(xf, "x", exNew, dxNew)
+      // convergence: δ = ‖Mx − x‖₁/‖x‖₁ (ppagerank.cc:649-657). The
+      // reference applies the operator once more (PageRankMult at 651); here
+      // Mx − x follows from the Arnoldi relation M·Vₘ = Vₘ₊₁·H — exact to
+      // rounding REGARDLESS of basis quality, because each v_{j+1} is
+      // constructed as (w − Σ hᵢⱼ vᵢ)/β — so
+      // Mx − x = Vₘ₊₁·(H − [I;0])·vmin, a column combination of basis
+      // vectors already in the frame. The restart therefore pays NO extra
+      // SpMV: residual, ‖x‖₁, dᵀx, ‖x‖₂ and eᵀx all ride one shuffle-free
+      // observe job on the frame. On happy breakdown v_m was never built;
+      // its coefficient is β·vmin_{m−1} with β < 1e-12·‖w‖ — dropped.
+      val rCoef = Array.tabulate(m + 1)(i =>
+        (0 until m).map(jj => hBlock(i)(jj) * vmin(jj)).sum)
+      val residCol = (0 to (if (breakdown) m - 1 else m)).map(i =>
+          GraftSqlInternals.stableLit(rCoef(i)) * col(s"v$i"))
+        .reduce((a, b) => a + b)
       val (tr2, obsR) = GraftSqlInternals.truncateObserved(
-        xf.select(carry ++ Seq(col("x"),
-          col("w"), abs(col("w") - col("x")).as("rdiff")): _*)
-          .observe("restart", sum(col("rdiff")), sum(abs(col("x"))),
-            sum(col("dang") * col("x")), sum(col("x") * col("x")), sum(col("x"))))
+        frame.withColumn("x", xCol)
+          .observe("restart", sum(abs(residCol)), sum(abs(col("x"))),
+            sum(col("dang") * col("x")), sum(col("x") * col("x")),
+            sum(col("x")))
+          .select(carry :+ col("x"): _*))
       val row = obsR("restart")
       val num = row.getDouble(0)
       xNorm1 = row.getDouble(1)
       dx = row.getDouble(2)
       xNorm2 = math.sqrt(row.getDouble(3))
-      ex = row.getDouble(4) // measured eᵀx (the analytic exNew drifts)
+      ex = row.getDouble(4) // measured eᵀx (an analytic recursion drifts)
       delta = num / xNorm1
-      x = tr2.df.select(carry :+ col("x"): _*)
+      x = tr2.df
       // the basis-vector frame and the previous restart's x are dead now
       prevHandle.foreach(_.handle.unpersist(false))
       xHandle.foreach(_.handle.unpersist(false))
@@ -307,7 +330,9 @@ object ArnoldiPageRank {
     val signedSum = x.agg(sum(col("x"))).head().getDouble(0)
     val sign = if (signedSum < 0) -1.0 else 1.0
     val ranks = x.select(col("id"),
-      (col("x") * lit(sign) / lit(math.abs(signedSum))).as("rank")).as[VertexRank]
+      (col("x") * lit(sign) /
+        GraftSqlInternals.stableLit(math.abs(signedSum))).as("rank")).as[VertexRank]
     (ranks, PageRankStats(restart, delta, reason, trace.toSeq))
+    } // withWidth
   }
 }

@@ -21,6 +21,7 @@ object ConnectedComponents {
   /** @return (id, component) for every vertex in `vertices`. */
   def run(edges: Dataset[Edge], vertices: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
+    graft.util.ShuffleWidth.withWidth(spark, edges.rdd.getNumPartitions) {
 
     // Undirected, deduplicated adjacency; both directions materialized once.
     val und = edges.select(col("src"), col("dst"))
@@ -66,5 +67,6 @@ object ConnectedComponents {
     }
     und.unpersist(false)
     labels
+    } // withWidth
   }
 }

@@ -117,11 +117,17 @@ object GraphOps {
       buckets: Int = 0): LinkGraph = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val p = if (buckets > 0) buckets
-            else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
     val rawEdges = raw.select(col("src").cast("long"), col("dst").cast("long"),
-      col("weight").cast("double")).as[Edge]
+      col("weight").cast("double")).as[Edge].persist()
+    val nE = rawEdges.count()
+    // layout width follows the nonzero count (≙ the reference's nnz-weighted
+    // row redistribution, /root/reference/petsc_util.cc:1093-1263), capped at
+    // the configured session width: a small graph laid out at full machine
+    // width pays a full task wave per iteration micro-stage for no work
+    val p = if (buckets > 0) buckets
+            else graft.util.ShuffleWidth.forEdges(nE,
+              spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
     // C1 stochastic normalization: per-src out-weight sum, then scale.
     // Window-free two-stage (groupBy + co-partitioned join) so the partial
@@ -135,9 +141,14 @@ object GraphOps {
       .as[Edge]
       .persist()
 
-    val verts = vertices.select(col("id").cast("long")).persist()
+    // vertex domain co-partitioned WITH the edge layout: every solver's
+    // iterate frame inherits its partitioning from the vertex side of the
+    // initial join, so a width mismatch here would re-exchange the edges in
+    // EVERY iteration job (measured: 4 stages/step instead of 2)
+    val verts = vertices.select(col("id").cast("long"))
+      .repartition(p, col("id")).persist()
     val nV = verts.count()
-    val nE = normalized.count()
+    normalized.count() // materialize the layout before callers iterate on it
     LinkGraph(normalized, rawEdges, verts, dict, nV, nE)
   }
 

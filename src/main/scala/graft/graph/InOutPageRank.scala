@@ -57,6 +57,7 @@ object InOutPageRank {
     // analytic eᵀ bookkeeping generalizes with sv = eᵀv (1 for uniform)
     val hasV = personalization.isDefined
     val vCol = if (hasV) col("v") else lit(vUniform)
+    graft.util.ShuffleWidth.withWidth(spark, g.edges.rdd.getNumPartitions) {
     val prep = PageRank.prepare(g,
       PageRankConfig(saltThreshold = cfg.saltThreshold, saltBuckets = cfg.saltBuckets))
 
@@ -214,5 +215,6 @@ object InOutPageRank {
     // which leaves the iterate in p).
     val ranks = frame.select(col("id"), col("x").as("rank")).as[VertexRank]
     (ranks, PageRankStats(iter, delta, reason, trace.toSeq))
+    } // withWidth
   }
 }

@@ -37,6 +37,8 @@ object LabelPropagation {
     */
   def runWithStats(edges: Dataset[Edge], vertices: DataFrame,
       rounds: Int = 5): (DataFrame, Int) = {
+    graft.util.ShuffleWidth.withWidth(edges.sparkSession,
+      edges.rdd.getNumPartitions) {
     val adj = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
@@ -72,5 +74,6 @@ object LabelPropagation {
     }
     adj.unpersist(false)
     (labels, r)
+    } // withWidth
   }
 }

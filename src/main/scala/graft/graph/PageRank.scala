@@ -125,6 +125,9 @@ object PageRank {
     import spark.implicits._
     val n = g.numVertices
     require(n > 0, "empty vertex domain")
+    // iteration shuffles sized to the graph's own layout width (no-op at
+    // full scale; see ShuffleWidth)
+    graft.util.ShuffleWidth.withWidth(spark, g.edges.rdd.getNumPartitions) {
     val prep = prepare(g, cfg)
 
     // static dangling indicator (C6 complement): dang=1 iff no out-edges —
@@ -189,11 +192,25 @@ object PageRank {
           case Some((k, snap)) =>
             startIter = k
             // migration: a pre-packing snapshot carries an explicit dang
-            // column — fold it into the sign on the way in
-            if (packed && snap.columns.contains("dang"))
+            // column — fold it into the sign on the way in. A rank of
+            // exactly 0.0 cannot carry the sign bit (-0.0 reads back as
+            // non-dangling): uniform-teleport iterates are strictly
+            // positive, so a zero rank means the snapshot came from a
+            // personalized/sparse-teleport run — refuse loudly rather than
+            // silently dropping dangling bits
+            if (packed && snap.columns.contains("dang")) {
+              val minRank = Option(
+                snap.agg(min(col("rank"))).head().get(0))
+                .map(_.asInstanceOf[Double]).getOrElse(0.0)
+              require(minRank > 0.0,
+                s"checkpoint under ${cfg.checkpointDir.get}/$runId carries " +
+                  s"non-positive ranks (min=$minRank): it was written by a " +
+                  "personalized or sparse-teleport run and cannot be folded " +
+                  "into the sign-packed uniform representation — resume it " +
+                  "with the same personalization, or restart")
               snap.select(col("id"),
                 when(col("dang") === 1.0, -col("rank")).otherwise(col("rank")).as("rank"))
-            else snap
+            } else snap
           case None => initialFrame()
         }
       case _ => initialFrame()
@@ -287,6 +304,7 @@ object PageRank {
 
     (frame.select(col("id"), magOf(col("rank")).as("rank")).as[VertexRank],
       PageRankStats(iter, delta, reason, trace.toSeq))
+    } // withWidth
   }
 
   /** Batched multi-seed personalized PageRank: k PPR vectors (teleport
@@ -311,6 +329,7 @@ object PageRank {
     val k = seeds.size
     require(k >= 1 && k <= 64, s"1..64 seeds supported, got $k")
     require(seeds.distinct.size == k, "duplicate seeds")
+    graft.util.ShuffleWidth.withWidth(spark, g.edges.rdd.getNumPartitions) {
     val prep = prepare(g, cfg)
 
     val srcs = g.edges.select(col("src").as("id")).distinct()
@@ -334,6 +353,30 @@ object PageRank {
           .map { case (kk, snap) =>
             val want = seeds.indices.map(rc).toSet
             val got = snap.columns.filter(c => c != "id" && c != "dang").toSet
+            // checkpoint format versioning: pre-marker snapshots may be
+            // INDEX-named (r0..r(k-1), column order = seed order) — for the
+            // one seed set where that is indistinguishable from seed-naming
+            // ({0..k-1}), binding by name could silently swap per-seed
+            // state, so refuse instead of guessing
+            val fmt = TableIO.readMarker(spark, s"$dir/$runId/_seedfmt")
+            val indexNamed = seeds.indices.map(j => s"r$j").toSet
+            if (fmt.isEmpty && got == indexNamed) {
+              if (want == indexNamed)
+                throw new IllegalArgumentException(
+                  s"checkpoint under $dir/$runId predates the _seedfmt marker " +
+                    "and its columns match BOTH the legacy index-named and the " +
+                    "seed-named layout (seed set = 0..k-1): the column-to-seed " +
+                    "binding cannot be validated — restart the solve, or write " +
+                    "a '_seedfmt: seed-named' marker after verifying the " +
+                    "binding by hand")
+              else
+                throw new IllegalArgumentException(
+                  s"checkpoint under $dir/$runId is a legacy INDEX-named " +
+                    s"multi-seed snapshot (columns r0..r${k - 1}): column " +
+                    "order, not seed identity, defined its binding — it " +
+                    "cannot be resumed under seed-named validation; restart " +
+                    "the solve")
+            }
             require(got == want,
               s"checkpoint under $dir/$runId carries seed columns " +
                 s"${got.toSeq.sorted.mkString(",")} but seeds " +
@@ -412,6 +455,9 @@ object PageRank {
         cfg.checkpointDir.foreach { dir =>
           frame = TableIO.commitSnapshotWithLineage(
             frame, s"$dir/$runId", runId, "iter_", iter)
+          // format marker: columns are seed-named (resume validates against
+          // it; see the legacy-index-named refusal above)
+          TableIO.writeMarker(spark, s"$dir/$runId/_seedfmt", "seed-named")
           val fresh = trace.toSeq.drop(flushedUpTo)
           if (fresh.nonEmpty) TableIO.appendRows(fresh.toDF(), s"$dir/$runId/_metrics")
           flushedUpTo = trace.size
@@ -428,5 +474,6 @@ object PageRank {
     val long = frame.select(col("id"),
       expr(s"stack($k, $stackArgs)").as(Seq("seed", "rank")))
     (long, PageRankStats(iter, delta, reason, trace.toSeq))
+    } // withWidth
   }
 }

@@ -60,6 +60,8 @@ object Triangles {
 
   /** Total triangle count. */
   def count(edges: Dataset[Edge]): Long = {
+    graft.util.ShuffleWidth.withWidth(edges.sparkSession,
+      edges.rdd.getNumPartitions) {
     val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
     val oriented = orient(und).persist(StorageLevel.MEMORY_AND_DISK)
@@ -68,6 +70,7 @@ object Triangles {
     val n = enumerate(oriented).count()
     oriented.unpersist(false)
     n
+    } // withWidth
   }
 
   /** Per-vertex triangle participation counts (id, triangles) — same
@@ -87,21 +90,26 @@ object Triangles {
     */
   def perVertexTruncated(edges: Dataset[Edge],
       vertices: DataFrame): org.apache.spark.sql.GraftSqlInternals.Truncated = {
+    graft.util.ShuffleWidth.withWidth(edges.sparkSession,
+      edges.rdd.getNumPartitions) {
     val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
     val oriented = orient(und).persist(StorageLevel.MEMORY_AND_DISK)
     oriented.count()
     und.unpersist(false)
-    // eager: the per-corner counts must materialize BEFORE the inputs are
-    // unpersisted, or the caller's later action re-derives the whole wedge
-    // join from scratch
     val counts = org.apache.spark.sql.GraftSqlInternals.truncate(
       enumerate(oriented)
         .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
         .groupBy(col("id")).agg(expr("count(1)").as("triangles")))
+    // eager: the per-corner counts must materialize BEFORE `oriented` is
+    // unpersisted, or the caller's later action re-derives the whole wedge
+    // join from scratch (truncate alone is lazy — localCheckpoint marks,
+    // the first action materializes)
+    counts.handle.count()
     oriented.unpersist(false)
     val result = vertices.join(counts.df, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
     org.apache.spark.sql.GraftSqlInternals.Truncated(result, counts.handle)
+    } // withWidth
   }
 }

@@ -135,7 +135,7 @@ object EdgeStore {
     // a concurrent merge — checking the layout first would leave a window
     // where a merge starts against the tree this migrate is about to delete
     val (mfs, mpath) = hfs(spark, markerPath(path))
-    mfs.create(mpath, false).close()
+    createMarker(mfs, mpath)
     var wrote = false
     try {
       if (readLayout(spark, path) >= 2) { mfs.delete(mpath, false); return }
@@ -145,6 +145,7 @@ object EdgeStore {
           .unionByName(
             scanTbl(spark, path, "raw", 1).drop("bucket").withColumn("tbl", lit("raw")))
       wrote = true
+      markerWriting(mfs, mpath)
       writeData(unioned, path, buckets)
       writeMeta(spark, path, buckets)
       for (sub <- Seq("edges", "raw_edges")) {
@@ -170,12 +171,53 @@ object EdgeStore {
 
   private def markerPath(path: String) = s"$path/_merge_inprogress"
 
+  /** Marker body records the PHASE of the interrupted operation, so an
+    * operator facing a stale marker knows whether the store content can be
+    * trusted: "locked" = the merge/migrate crashed (or was killed) before
+    * its first write — the store is intact and deleting the marker file is
+    * safe; "writing" = it crashed mid-rewrite — rebuild or restore. Markers
+    * from pre-phase versions are empty → reported as unknown.
+    */
+  private def createMarker(fs: org.apache.hadoop.fs.FileSystem,
+      m: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(m, false) // exclusive: concurrent mutators collide here
+    try out.write("locked".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def markerWriting(fs: org.apache.hadoop.fs.FileSystem,
+      m: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(m, true)
+    try out.write("writing".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def requireConsistent(spark: SparkSession, path: String): Unit = {
     val (fs, m) = hfs(spark, markerPath(path))
-    require(!fs.exists(m),
-      s"edge store $path has an unfinished merge (${m.getName} present): " +
-        "a previous mergeDelta crashed between the raw_edges and edges " +
-        "rewrites — rebuild the store or restore from a snapshot")
+    if (fs.exists(m)) {
+      val phase = {
+        val in = fs.open(m)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      }
+      val advice = phase match {
+        case "locked" =>
+          "it died BEFORE its first write, so the store content is intact — " +
+            "verify no merge process is still alive, then delete the marker " +
+            "file to recover"
+        case "writing" =>
+          "it died mid-rewrite — rebuild the store or restore from a snapshot"
+        case _ =>
+          "its phase is unrecorded (pre-phase marker): it may have died " +
+            "before writing anything (store intact — delete the marker after " +
+            "verifying the data) or mid-rewrite (rebuild or restore)"
+      }
+      throw new IllegalArgumentException(
+        s"requirement failed: edge store $path has an unfinished " +
+          s"merge/migrate (${m.getName} present, phase=" +
+          s"${if (phase.isEmpty) "unknown" else phase}): $advice")
+    }
   }
 
   /** Tag recorded by the last completed merge (None for never-merged or
@@ -257,8 +299,10 @@ object EdgeStore {
     // first write on, a crash leaves it so read()/mergeDelta refuse the
     // possibly-inconsistent store.
     val (mfs, mpath) = hfs(spark, markerPath(path))
-    mfs.create(mpath, false).close()
+    createMarker(mfs, mpath)
     var wroteAnything = false
+    def noteFirstWrite(): Unit =
+      if (!wroteAnything) { wroteAnything = true; markerWriting(mfs, mpath) }
     try {
     val buckets = readBuckets(spark, path)
     val layout = readLayout(spark, path)
@@ -339,7 +383,7 @@ object EdgeStore {
     // marker (taken at entry) stays on disk through the rewrites, the
     // emptied-bucket cleanup, and the vertex append, and is removed only
     // once all are durable.
-    wroteAnything = true
+    noteFirstWrite()
     if (layout >= 2) {
       // combined tree: BOTH tables land in ONE rewrite job — the merged
       // union already carries the tbl discriminator
@@ -401,7 +445,17 @@ object EdgeStore {
       }
     }
     tag.foreach(t => writeSmallFile(mfs, s"$path/_last_merge_tag", t.toString))
-    runId.foreach(r => writeSmallFile(mfs, s"$path/_last_merge_run", r))
+    runId match {
+      case Some(r) => writeSmallFile(mfs, s"$path/_last_merge_run", r)
+      case None =>
+        // an unscoped merge invalidates any previous run's claim on the
+        // cursor: leaving a stale _last_merge_run would let that run resume
+        // later and validate (storedRun == runId) against a _last_merge_tag
+        // it did not write, silently skipping its early batches — exactly
+        // the failure the run scoping exists to prevent
+        val rp = new org.apache.hadoop.fs.Path(s"$path/_last_merge_run")
+        if (mfs.exists(rp)) mfs.delete(rp, false)
+    }
     mfs.delete(mpath, false)
     affT.handle.unpersist(false); mergedT.handle.unpersist(false)
     newT.handle.unpersist(false); delta.unpersist()
@@ -424,7 +478,9 @@ object EdgeStore {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rawEdges = scanTbl(spark, path, "raw", layout)
       .select(col("src"), col("dst"), col("weight")).as[Edge]
-    val vertices = spark.read.parquet(s"$path/vertices").persist()
+    val vertices = spark.read.parquet(s"$path/vertices")
+      .repartition(col("id")) // co-partition with the edge layout (see
+      .persist()              // GraphOps.normalizeFrom)
     val dict = spark.read.parquet(s"$path/dict")
     LinkGraph(edges, rawEdges, vertices, dict, vertices.count(), edges.count())
   }

@@ -56,6 +56,25 @@ object TableIO {
   def appendRows(df: DataFrame, dir: String): Unit =
     df.write.mode("append").parquet(dir)
 
+  /** Small sidecar marker files (format/version notes next to snapshots). */
+  def writeMarker(spark: SparkSession, path: String, body: String): Unit = {
+    val out = fs(spark, path).create(new Path(path), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readMarker(spark: SparkSession, path: String): Option[String] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
   // ---- per-partition lineage (north rule: "every iteration checkpointed …
   // alongside per-partition lineage and residual metrics") ----
 

@@ -176,10 +176,18 @@ object Dedup {
     * via 16-bit chunk bucketing.
     */
   def simhashCandidates(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      chunkBits: Int = 16): DataFrame = {
+    // pigeonhole: 64/chunkBits chunks guarantee a shared chunk for any pair
+    // with hamming ≤ 64/chunkBits − 1 — narrower chunks buy a stronger
+    // recall bound at the cost of more (bucket-bounded) candidate pairs
+    require(64 % chunkBits == 0, s"chunkBits must divide 64, got $chunkBits")
+    val nChunks = 64 / chunkBits
+    val chunkMask = (1L << chunkBits) - 1
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunks = sigs.select(col("id"), col("sig"), posexplode(array(
-      (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xffffL)): _*))
+      (0 until nChunks).map(c =>
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(chunkMask)): _*))
       .as(Seq("chunk", "key")))
     val l = chunks.select(col("chunk"), col("key"), col("id").as("a"), col("sig").as("siga"))
     val r = chunks.select(col("chunk"), col("key"), col("id").as("b"), col("sig").as("sigb"))
@@ -201,8 +209,8 @@ object Dedup {
     */
   def simhashNearDup(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3, shingleK: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
-    val cand = simhashCandidates(df, idCol, textCol, maxHamming)
+      threshold: Double = 0.5, chunkBits: Int = 16): DataFrame = {
+    val cand = simhashCandidates(df, idCol, textCol, maxHamming, chunkBits)
       .select(col("a"), col("b"))
     val sh = df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleK).as("sh"))

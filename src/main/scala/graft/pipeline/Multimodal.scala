@@ -5,26 +5,26 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.util.Hash64
-
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in batched per-partition passes.
   *
-  * The image and audio paths are REAL decoders built on codecs that ship
-  * inside the JDK — `javax.imageio.ImageIO` (PNG) and
-  * `javax.sound.sampled.AudioSystem` (WAV/PCM): `syntheticMedia` emits
-  * genuine encoded payloads, and `extractFeatures` parses those bytes back
-  * (dimensions, pixel statistics, sample counts, amplitude statistics).
-  * Only the video kind is a stub — no video codec ships in the JDK; swap
-  * `videoStub` for a real decoder (javacv et al.) without touching the
-  * distributed plumbing (schema, partition-size control, per-partition
-  * batched iteration — the Scala analogue of `mapInPandas` batch
-  * processing).
+  * All three kinds are REAL decoders: `javax.imageio.ImageIO` (PNG) and
+  * `javax.sound.sampled.AudioSystem` (WAV/PCM) from the JDK, plus a
+  * hand-rolled uncompressed RIFF/AVI parser (DIB BGR24 frames) for video —
+  * the JDK ships no video codec, but an uncompressed AVI is pure byte-format
+  * work, exactly like the WAV path. `syntheticMedia` emits genuine encoded
+  * payloads and `extractFeatures` parses those bytes back (dimensions,
+  * pixel statistics, sample counts, amplitude statistics, per-frame means).
+  * A heavier codec (javacv et al.) can replace any `decode*` without
+  * touching the distributed plumbing (schema, partition-size control,
+  * per-partition batched iteration — the Scala analogue of `mapInPandas`
+  * batch processing).
   *
   * The synthetic content is a simple closed-form function of `media_id`
-  * (solid-color images, constant-amplitude PCM), so every decoded statistic
-  * is reproducible by an independent engine from the id alone — which is
-  * what lets the driver's DuckDB oracle verify that the decode actually ran.
+  * (solid-color images/frames, constant-amplitude PCM), so every decoded
+  * statistic is reproducible by an independent engine from the id alone —
+  * which is what lets the driver's DuckDB oracle verify that the decode
+  * actually ran.
   */
 object Multimodal {
 
@@ -49,6 +49,12 @@ object Multimodal {
   private[pipeline] def audioSamples(id: Long): Int = 800 + (id % 5).toInt * 160
   private[pipeline] def audioAmp(id: Long): Int = 1000 + (id % 100).toInt * 10
   private[pipeline] def videoDurationMs(id: Long): Int = 1000 + (id % 59).toInt * 1000
+  private[pipeline] def vidW(id: Long): Int = 8 + (id % 5).toInt
+  private[pipeline] def vidH(id: Long): Int = 6 + (id % 3).toInt
+  private[pipeline] def vidFrames(id: Long): Int = 2 + (id % 4).toInt
+  private[pipeline] def vidRgb(id: Long, f: Int): (Int, Int, Int) =
+    (((id * 7 + f * 31) % 256).toInt, ((id * 13 + f * 17) % 256).toInt,
+      ((id * 29 + f * 11) % 256).toInt)
 
   private def encodePng(id: Long): Array[Byte] = {
     val (r, g, b) = imgRgb(id)
@@ -82,9 +88,63 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- uncompressed RIFF/AVI (DIB frames) — the video codec ----
+  // No video codec ships in the JDK, but an UNCOMPRESSED AVI is pure byte
+  // format work (like the WAV path): RIFF('AVI ') → LIST(hdrl){avih,
+  // LIST(strl){strh,strf=BITMAPINFOHEADER}} → LIST(movi){'00db' DIB frames}.
+  // Frames are bottom-up BGR24 rows padded to 4-byte boundaries — the
+  // standard DIB layout any AVI tool (ffmpeg, VLC, MediaPlayer) accepts.
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bos.write(le32(body.length))
+    bos.write(body)
+    if (body.length % 2 == 1) bos.write(0) // RIFF word alignment
+    bos.toByteArray
+  }
+  private def riffList(kind: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST",
+      kind.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body)
+
+  private def encodeAvi(id: Long): Array[Byte] = {
+    val w = vidW(id); val h = vidH(id); val n = vidFrames(id)
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val frameSize = rowBytes * h
+    val avih = Array(100000, frameSize * 10, 0, 0, n, 0, 1, frameSize,
+      w, h, 0, 0, 0, 0).flatMap(le32) // 14 × u32 = 56 bytes
+    val strh =
+      "vidsDIB ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array(0, 0, 0, 1, 10, 0, n, frameSize, 0, 0).flatMap(le32) ++
+        Array(0, 0, w, h).flatMap(le16) // 56 bytes
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      Array(0, frameSize, 0, 0, 0, 0).flatMap(le32) // BITMAPINFOHEADER
+    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
+      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val frames = (0 until n).toArray.flatMap { f =>
+      val (r, g, b) = vidRgb(id, f)
+      val row = new Array[Byte](rowBytes)
+      var x = 0
+      while (x < w) { // DIB stores BGR
+        row(3 * x) = b.toByte; row(3 * x + 1) = g.toByte; row(3 * x + 2) = r.toByte
+        x += 1
+      }
+      riffChunk("00db", Array.fill(h)(row).flatten)
+    }
+    val body = "AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      hdrl ++ riffList("movi", frames)
+    "RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      le32(body.length) ++ body
+  }
+
   /** Deterministic synthetic media table (payload bytes are a pure function
-    * of media_id): real PNG and WAV payloads for the image/audio kinds,
-    * opaque bytes for video.
+    * of media_id): real PNG, WAV and uncompressed-AVI payloads.
     */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
@@ -98,11 +158,7 @@ object Multimodal {
           MediaRow(id, "audio", encodeWav(id), 0, 0, AudioRate,
             duration_ms = n * 1000 / AudioRate)
         case _ =>
-          val len = 64 + Hash64.mod(Hash64.h(7L, id, 2L), 192L).toInt
-          val bytes = Array.tabulate[Byte](len)(i => Hash64.h(7L, id, i.toLong).toByte)
-          MediaRow(id, "video", bytes,
-            width = 16 + Hash64.mod(Hash64.h(7L, id, 3L), 1024L).toInt,
-            height = 16 + Hash64.mod(Hash64.h(7L, id, 4L), 1024L).toInt,
+          MediaRow(id, "video", encodeAvi(id), vidW(id), vidH(id),
             sample_rate = 0, duration_ms = videoDurationMs(id))
       }
     }
@@ -170,25 +226,88 @@ object Multimodal {
     } finally in.close()
   }
 
-  /** STUB for the video kind — no video codec ships in this container's
-    * JDK. Deterministic in the payload bytes so tests are exact; swap for a
-    * real frame decoder without touching the plumbing. 8 features per
-    * sampled frame.
+  /** Decode one video payload (uncompressed RIFF/AVI with DIB BGR24
+    * frames): dimensions + per-channel means of `frameCount` evenly-sampled
+    * frames. Features: [width, height, then (meanR, meanG, meanB)/255 per
+    * sampled frame]. Every offset is bounds-checked — a truncated or
+    * non-AVI payload yields ok=false, never a task failure (same contract
+    * as the image/audio decoders).
     */
-  private def videoStub(row: MediaRow, frameCount: Int): MediaFeatures = {
-    val feats = Array.tabulate(frameCount * 8) { i =>
-      val b = row.payload(i % row.payload.length)
-      (Hash64.h(11L, row.media_id, i.toLong, b.toLong) % 1000L).toFloat / 1000.0f
+  private def decodeVideo(row: MediaRow, frameCount: Int): MediaFeatures = {
+    val b = row.payload
+    def bad = MediaFeatures(row.media_id, row.kind, 0, Array.empty, 0, ok = false)
+    def u32(off: Int): Long =
+      if (off < 0 || off + 4 > b.length) -1L
+      else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fcc(off: Int): String =
+      if (off < 0 || off + 4 > b.length) ""
+      else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return bad
+    var w = 0; var h = 0; var bits = 0; var comp = -1L
+    val frames = scala.collection.mutable.ArrayBuffer[Int]() // frame offsets
+    var frameLenOk = true
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      var guard = 0
+      while (off + 8 <= end && guard < (1 << 16)) {
+        guard += 1
+        val id = fcc(off)
+        val sz = u32(off + 4)
+        if (sz < 0 || off + 8 + sz > end) return // truncated chunk → stop
+        if (id == "LIST") walk(off + 12, off + 8 + sz.toInt)
+        else if (id == "strf" && sz >= 40) {
+          w = u32(off + 8 + 4).toInt
+          h = u32(off + 8 + 8).toInt
+          bits = (b(off + 8 + 14) & 0xff) | ((b(off + 8 + 15) & 0xff) << 8)
+          comp = u32(off + 8 + 16)
+        } else if (id.length == 4 &&
+            (id.endsWith("db") || id.endsWith("dc"))) {
+          frames += off + 8
+          if (frames.length == 1 && sz == 0) frameLenOk = false
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
     }
-    MediaFeatures(row.media_id, row.kind, feats.length, feats,
-      frames_sampled = frameCount, ok = row.payload.nonEmpty)
+    val riffEnd = math.min(b.length.toLong, u32(4) + 8L).toInt
+    walk(12, riffEnd)
+    // only the format this decoder understands: uncompressed 24-bit DIB
+    if (w <= 0 || h <= 0 || bits != 24 || comp != 0L ||
+        frames.isEmpty || !frameLenOk) return bad
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val n = frames.length
+    val sampled = math.min(frameCount, n)
+    val feats = new Array[Float](2 + 3 * sampled)
+    feats(0) = w.toFloat; feats(1) = h.toFloat
+    val npx = (w.toLong * h).toFloat
+    var i = 0
+    while (i < sampled) {
+      val foff = frames(i * n / sampled) // evenly spaced sample plan
+      if (foff + rowBytes.toLong * h > b.length) return bad
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = foff + y * rowBytes + 3 * x // bottom-up irrelevant for means
+          sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      feats(2 + 3 * i) = sr / npx / 255.0f
+      feats(2 + 3 * i + 1) = sg / npx / 255.0f
+      feats(2 + 3 * i + 2) = sb / npx / 255.0f
+      i += 1
+    }
+    MediaFeatures(row.media_id, row.kind, feats.length, feats, sampled, ok = true)
   }
 
   private def decode(row: MediaRow, frameCount: Int): MediaFeatures =
     row.kind match {
       case "image" => decodeImage(row)
       case "audio" => decodeAudio(row)
-      case _       => videoStub(row, frameCount)
+      case _       => decodeVideo(row, frameCount)
     }
 
   /** Batched per-partition feature extraction — the mapInPandas-shaped pass:

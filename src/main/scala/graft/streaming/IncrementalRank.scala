@@ -84,6 +84,17 @@ object IncrementalRank {
             s"cannot be validated against run '$runId' — reset the store " +
             "together with the query checkpoint, or keep maintaining it " +
             "with an empty runId")
+      } else {
+        // mirror guard: an UNSCOPED caller must not inherit a cursor a
+        // scoped run wrote — this query's fresh batchIds would be compared
+        // against the foreign run's high-water mark and its early batches
+        // silently swallowed
+        require(storedRun.isEmpty,
+          s"edge store $storePath was last merged by streaming run " +
+            s"'${storedRun.getOrElse("")}' but this query carries no run " +
+            "identity: its batchId cursor does not apply to an unscoped " +
+            "query — pass the original runId to resume that run, or reset " +
+            "the store together with the query checkpoint")
       }
       val prev = // first batch: no ranks yet → cold start; other errors surface
         try Some(spark.read.parquet(ranksPath))

@@ -31,6 +31,7 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val stageAgg = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val jobAgg = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     // read by the listener-bus thread — needs a happens-before edge or the
     // dispatch thread may never observe the main thread's write
     val listen = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -41,6 +42,13 @@ object QueryProbe {
         val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
         val key = si.name.split(" at ").lastOption.getOrElse(si.name)
         stageAgg.merge(key, (wall, 1L), (a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = if (listen.get) {
+        val key = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .map(_.split(" at ").lastOption.getOrElse("?")).getOrElse("?")
+        jobAgg.merge(key, 1L, (a: Long, b: Long) => a + b)
       }
     })
 
@@ -61,6 +69,10 @@ object QueryProbe {
       println("[probe] stage wall totals of last rep (ms, count):")
       stageAgg.asScala.toSeq.sortBy(-_._2._1).take(15).foreach { case (k, (w, c)) =>
         println(f"  $w%6d ms x$c%-3d $k")
+      }
+      println("[probe] job counts of last rep:")
+      jobAgg.asScala.toSeq.sortBy(-_._2).take(15).foreach { case (k, c) =>
+        println(f"  x$c%-4d $k")
       }
     }
     spark.stop()

@@ -319,6 +319,81 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     all.unpersist()
   }
 
+  test("an unscoped merge clears a previous run's cursor identity") {
+    val all = rawEdges(60).persist()
+    val store = tmp("inc_unscoped_clears")
+    val ranksPath = tmp("inc_unscoped_clears_ranks") + "/ranks"
+    EdgeStore.write(buildGraph(all), store, buckets = 4)
+    val cfg = PageRankConfig(tol = 1e-8, maxIter = 200)
+    val delta = Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight")
+    IncrementalRank.maintain(spark, store, ranksPath, cfg, runId = "ckpt-A")(
+      delta, batchId = 5L)
+    assert(EdgeStore.lastMergeRun(spark, store).contains("ckpt-A"))
+    // a direct unscoped merge advances the tag WITHOUT a run identity; the
+    // stale "ckpt-A" claim must not survive to vouch for a cursor it did
+    // not write
+    EdgeStore.mergeDelta(spark, store,
+      Seq((1L, 2L, 1.0)).toDF("src", "dst", "weight"), tag = Some(9L))
+    assert(EdgeStore.lastMergeRun(spark, store).isEmpty,
+      "_last_merge_run survived an unscoped merge")
+    // the original run resuming now fails loudly (unscoped-cursor guard)
+    // instead of silently skipping its batches at or below tag 9
+    intercept[IllegalArgumentException] {
+      IncrementalRank.maintain(spark, store, ranksPath, cfg, runId = "ckpt-A")(
+        delta, batchId = 6L)
+    }
+    all.unpersist()
+  }
+
+  test("an unscoped query refuses a store whose cursor a scoped run wrote") {
+    val all = rawEdges(60).persist()
+    val store = tmp("inc_unscoped_refuses")
+    val ranksPath = tmp("inc_unscoped_refuses_ranks") + "/ranks"
+    EdgeStore.write(buildGraph(all), store, buckets = 4)
+    val cfg = PageRankConfig(tol = 1e-8, maxIter = 200)
+    val delta = Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight")
+    IncrementalRank.maintain(spark, store, ranksPath, cfg, runId = "ckpt-A")(
+      delta, batchId = 5L)
+    // mirror of the scoped-vs-unscoped guard: an unscoped caller comparing
+    // its fresh batchIds against ckpt-A's high-water mark would silently
+    // swallow batches 0..5
+    intercept[IllegalArgumentException] {
+      IncrementalRank.maintain(spark, store, ranksPath, cfg)(delta, batchId = 0L)
+    }
+    all.unpersist()
+  }
+
+  test("stale marker reports its phase: pre-write 'locked' vs mid-rewrite 'writing'") {
+    val all = rawEdges(40)
+    val store = tmp("inc_marker_phase")
+    EdgeStore.write(buildGraph(all), store, buckets = 4)
+    def plantMarker(body: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$store/_merge_inprogress")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    def refusalMessage(): String = {
+      val e = intercept[IllegalArgumentException](EdgeStore.read(spark, store))
+      e.getMessage
+    }
+    plantMarker("locked") // ≙ killed after taking the marker, before writing
+    val m1 = refusalMessage()
+    assert(m1.contains("phase=locked") && m1.contains("intact"),
+      s"pre-write crash message must say the store is intact: $m1")
+    plantMarker("writing") // ≙ killed mid-rewrite
+    val m2 = refusalMessage()
+    assert(m2.contains("phase=writing") && m2.contains("rebuild"), m2)
+    plantMarker("") // pre-phase marker from an older version
+    assert(refusalMessage().contains("phase=unknown"))
+    val p = new org.apache.hadoop.fs.Path(s"$store/_merge_inprogress")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    val g = EdgeStore.read(spark, store) // recovered after manual delete
+    assert(g.numEdges > 0)
+    g.edges.unpersist(); g.vertices.unpersist()
+  }
+
   test("a merge that fails before any write releases the in-progress marker") {
     val all = rawEdges(40)
     val store = tmp("inc_prewrite_fail")

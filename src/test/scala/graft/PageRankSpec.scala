@@ -75,6 +75,72 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     (0 until n).foreach(i => assert(math.abs(got(i.toLong) - expected(i)) < 1e-6))
   }
 
+  test("packed migration refuses a legacy snapshot with non-positive ranks") {
+    // a personalized run can leave rank 0.0 rows; folding them into the
+    // sign-packed representation would store -0.0 and silently drop the
+    // dangling bit on read — the migration must fail loudly instead
+    val (n, edges) = GraphFixtures.g1 // vertex 5 is dangling
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val dir = java.nio.file.Files.createTempDirectory("pr_legacy_zero").toString
+    val cfg = PageRankConfig(alpha = 0.85, tol = 1e-10, maxIter = 300,
+      checkpointDir = Some(dir))
+    import org.apache.spark.sql.functions._
+    val srcs = g.edges.select(col("src").as("id"))
+      .distinct().withColumn("nd", lit(1))
+    val legacy = g.vertices.join(srcs, Seq("id"), "left")
+      .select(col("id"), when(col("nd").isNull, 1.0).otherwise(0.0).as("dang"))
+      .withColumn("rank", when(col("id") === 0L, 0.0).otherwise(lit(1.0 / n)))
+    graft.ingest.TableIO.commitSnapshotWithLineage(legacy, s"$dir/prz", "prz", "iter_", 2)
+    val e = intercept[IllegalArgumentException] {
+      PageRank.run(g, cfg, runId = "prz", resume = true)
+    }
+    assert(e.getMessage.contains("non-positive ranks"))
+  }
+
+  test("multi-seed resume refuses a pre-marker checkpoint with index-named columns") {
+    import org.apache.spark.sql.functions._
+    val (n, edges) = GraphFixtures.g1
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val cfg0 = PageRankConfig(alpha = 0.85, tol = 1e-10, maxIter = 300)
+
+    // legacy snapshot shape: columns r0..r(k-1) named by seed INDEX, no
+    // _seedfmt marker
+    def legacySnap(dir: String, runId: String): Unit = {
+      val snap = g.vertices.select(col("id"), lit(0.0).as("dang"),
+        when(col("id") === 3L, 1.0).otherwise(0.0).as("r0"),
+        when(col("id") === 1L, 1.0).otherwise(0.0).as("r1"))
+      graft.ingest.TableIO.commitSnapshotWithLineage(snap, s"$dir/$runId", runId, "iter_", 2)
+    }
+
+    // seeds {0,1}: names collide with seed-naming — ambiguous, must refuse
+    val d1 = java.nio.file.Files.createTempDirectory("ppr_legacy_ambig").toString
+    legacySnap(d1, "pprA")
+    val e1 = intercept[IllegalArgumentException] {
+      PageRank.runMultiSeed(g, Seq(0L, 1L),
+        cfg0.copy(checkpointDir = Some(d1)), runId = "pprA", resume = true)
+    }
+    assert(e1.getMessage.contains("_seedfmt"))
+
+    // seeds {3,1}: columns are recognizably index-named — distinct refusal
+    val d2 = java.nio.file.Files.createTempDirectory("ppr_legacy_idx").toString
+    legacySnap(d2, "pprB")
+    val e2 = intercept[IllegalArgumentException] {
+      PageRank.runMultiSeed(g, Seq(3L, 1L),
+        cfg0.copy(checkpointDir = Some(d2)), runId = "pprB", resume = true)
+    }
+    assert(e2.getMessage.contains("INDEX-named"))
+
+    // and a checkpoint the CURRENT code writes carries the marker and
+    // resumes cleanly for the same seed set
+    val d3 = java.nio.file.Files.createTempDirectory("ppr_marker").toString
+    val cfg3 = cfg0.copy(tol = 0.0, maxIter = 4,
+      checkpointDir = Some(d3), checkpointEvery = 2)
+    PageRank.runMultiSeed(g, Seq(3L, 1L), cfg3, runId = "pprC")
+    val (long, stats) = PageRank.runMultiSeed(g, Seq(3L, 1L),
+      cfg3.copy(maxIter = 6), runId = "pprC", resume = true)
+    assert(stats.iterations == 6 && long.count() == 2L * n)
+  }
+
   test("salted prepare releases its cached frames when the run ends") {
     val (n, edges) = GraphFixtures.g2
     val g = GraphFixtures.linkGraph(spark, n, edges)

@@ -206,6 +206,51 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(unguarded.count() == 500L * 499 / 2)
   }
 
+  // ---- oracle-assumption guards: the d2/m3 driver queries use exhaustive
+  // all-pairs DuckDB twins, which is only sound if the query-level blocking
+  // params have recall 1.0 on the sf0.01 fixture. These tests pin that
+  // assumption to the actual fixture — if the testdata or a kernel changes
+  // and blocking starts missing a true pair, they fail BEFORE the driver's
+  // correctness gate does.
+
+  test("d2 fixture params are recall-complete on sf0.01 (blocking == exhaustive)") {
+    assume(new java.io.File("/root/testdata/sf0.01/documents.parquet").exists)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sh = docs.select(col("doc_id").as("id"),
+        Dedup.shingleHashes(col("text"), 5).as("sh"))
+      .where(size(col("sh")) > 0).localCheckpoint(true)
+    val exhaustive = sh.as("x").join(sh.as("y"),
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh")))).as("j"))
+      .where(col("j") >= 0.5)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashNearDup(docs,
+        maxHamming = 63, threshold = 0.5, chunkBits = 4)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == exhaustive,
+      s"missed: ${(exhaustive -- blocked).toSeq.sorted}; extra: ${(blocked -- exhaustive).toSeq.sorted}")
+  }
+
+  test("m3 fixture params are recall-complete on sf0.01 (banding == exhaustive)") {
+    assume(new java.io.File("/root/testdata/sf0.01/embeddings.parquet").exists)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint(true)
+    val exhaustive = emb.as("x").join(emb.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .where(col("cos") >= 0.4)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.cosineNearDup(emb, threshold = 0.4,
+        nBands = 63, planesPerBand = 1)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exhaustive,
+      s"missed: ${(exhaustive -- banded).toSeq.sorted}; extra: ${(banded -- exhaustive).toSeq.sorted}")
+  }
+
   test("langId: English vs German-ish markers, und for no markers") {
     val r = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
@@ -394,8 +439,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
           assert(x.features(1) == (800 + (id % 5) * 160).toFloat, s"audio $id n")
           assert(math.abs(x.features(2) - (1000 + (id % 100) * 10) / 32767.0f) < 1e-6f,
             s"audio $id amp")
-        case _ => // video: stubbed decode, real plumbing
-          assert(x.kind == "video" && x.feat_dim == 32 && x.frames_sampled == 4)
+        case _ => // video features: [w, h, (meanR, meanG, meanB)/255 per frame]
+          val sampled = math.min(4, 2 + id % 4)
+          assert(x.kind == "video" && x.ok, s"video $id not decoded")
+          assert(x.frames_sampled == sampled, s"video $id frames")
+          assert(x.feat_dim == 2 + 3 * sampled, s"video $id feat_dim")
+          assert(x.features(0) == (8 + id % 5).toFloat, s"video $id width")
+          assert(x.features(1) == (6 + id % 3).toFloat, s"video $id height")
+          // per-frame solid colors recovered exactly (sampled frame i maps
+          // to source frame i here since sampled == nFrames or indices 0..3)
+          (0 until sampled).foreach { i =>
+            val n = 2 + id % 4
+            val src = i * n / sampled
+            assert(math.abs(x.features(2 + 3 * i) -
+              ((id * 7 + src * 31) % 256) / 255.0f) < 1e-6f, s"video $id f$i meanR")
+            assert(math.abs(x.features(2 + 3 * i + 2) -
+              ((id * 29 + src * 11) % 256) / 255.0f) < 1e-6f, s"video $id f$i meanB")
+          }
       }
     }
   }
@@ -416,6 +476,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       Multimodal.MediaRow(97L, "audio", Array.empty[Byte], 0, 0, 8000, 0)).toDS()
     val out = Multimodal.extractFeatures(bad).collect()
     assert(out.length == 2 && out.forall(r => !r.ok && r.feat_dim == 0))
+  }
+
+  test("multimodal: a corrupt video payload yields ok=false, not a crash") {
+    import spark.implicits._
+    val riffOnly = "RIFF".getBytes ++ Array[Byte](8, 0, 0, 0) ++ "AVI ".getBytes
+    val bad = Seq(
+      Multimodal.MediaRow(96L, "video", Array[Byte](1, 2, 3, 4), 8, 6, 0, 1000),
+      Multimodal.MediaRow(95L, "video", Array.empty[Byte], 8, 6, 0, 0),
+      // valid RIFF/AVI header but no streams/frames
+      Multimodal.MediaRow(94L, "video", riffOnly, 8, 6, 0, 1000)).toDS()
+    val out = Multimodal.extractFeatures(bad).collect()
+    assert(out.length == 3 && out.forall(r => !r.ok && r.feat_dim == 0))
   }
 
   test("multimodal: resize plan preserves aspect ratio within bounds") {
