@@ -43,20 +43,52 @@ case class StableDouble(value: Double) extends LeafExpression {
 }
 
 /** A cached block of UnsafeRow payloads packed back-to-back into ONE byte
-  * array (plus an offsets index) — the "primitive-array rank block"
-  * representation of an iterate. Caching `RDD[InternalRow]` stores two JVM
-  * objects per row (the UnsafeRow wrapper + its private byte[]): at 10⁷
-  * vertices an iterative solver allocates and retires ~2·10⁷ objects per
-  * iteration, and that allocator/GC/LLC churn is what caps scaling at high
-  * thread counts. A chunk stores the same bytes as O(1) objects per
-  * partition; the read side replays rows as a single reused UnsafeRow view
-  * pointing into the array — the same row-reuse contract every Spark scan
-  * (Parquet, columnar cache) already has.
+  * array — the "primitive-array rank block" representation of an iterate.
+  * Caching `RDD[InternalRow]` stores two JVM objects per row (the UnsafeRow
+  * wrapper + its private byte[]): at 10⁷ vertices an iterative solver
+  * allocates and retires ~2·10⁷ objects per iteration, and that
+  * allocator/GC/LLC churn is what caps scaling at high thread counts. A
+  * chunk stores the same bytes as O(1) objects per partition; the read side
+  * replays rows as a single reused UnsafeRow view — the same row-reuse
+  * contract every Spark scan (Parquet, columnar cache) already has.
+  *
+  * Two layouts, self-described by `stride`:
+  *  - stride > 0 (fixed-stride): every row of an all-fixed-width schema has
+  *    the identical UnsafeRow size — one 8-byte null bitset word plus
+  *    nFields 8-byte slots (nulls just set bitset bits; the size never
+  *    varies) — so rows are stored at a constant stride and the offsets
+  *    index is dropped entirely. The read side stays zero-copy (pointTo at
+  *    i·stride). vs the generic layout this saves the 4 B/row offset AND
+  *    the offset buffer's boxing (ArrayBuffer[Int] boxes — 10⁷ Integer
+  *    allocations per iteration at headline scale). A payload-only variant
+  *    (bitset stripped, 33% fewer bytes) was measured and REJECTED: it
+  *    forces a per-row scratch memcpy on read, ~8% slower at
+  *    dedicated-core thread counts where bandwidth isn't the binding
+  *    constraint — zero-copy replay wins over smaller footprint.
+  *  - stride == 0 (generic): raw UnsafeRow bytes back-to-back with an
+  *    offsets index (row i at [offsets(i), offsets(i+1))) — any schema
+  *    with variable-length fields.
   */
 final class GraftRowChunk(
     val bytes: Array[Byte],
-    val offsets: Array[Int], // row i at [offsets(i), offsets(i+1))
-    val n: Int) extends Serializable
+    val offsets: Array[Int], // generic layout only (empty when stride > 0)
+    val n: Int,
+    val stride: Int) extends Serializable
+
+/** Growable primitive int buffer (ArrayBuffer[Int] boxes every element —
+  * at 10⁷ rows/iteration that is 10⁷ Integer allocations of pure GC churn).
+  */
+private[sql] final class GraftIntBuffer(initial: Int) {
+  private var arr = new Array[Int](initial)
+  private var len = 0
+  def add(v: Int): Unit = {
+    if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(len) = v
+    len += 1
+  }
+  def size: Int = len
+  def toArray: Array[Int] = java.util.Arrays.copyOf(arr, len)
+}
 
 object GraftSqlInternals {
 
@@ -77,6 +109,12 @@ object GraftSqlInternals {
   private val useRowBlocks: Boolean =
     !sys.env.get("GRAFT_ROW_BLOCKS").contains("0")
 
+  /** A/B hatch: GRAFT_FIXED_STRIDE=0 forces the generic chunk layout even
+    * for fixed-width null-free frames.
+    */
+  private val useFixedStride: Boolean =
+    !sys.env.get("GRAFT_FIXED_STRIDE").contains("0")
+
   private val ByteArrayOffset =
     org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
 
@@ -85,6 +123,12 @@ object GraftSqlInternals {
     * are UnsafeRows whose bytes are copied directly; any other InternalRow
     * (non-codegen tails) is converted through a per-partition
     * UnsafeProjection first.
+    *
+    * All-fixed-width schemas pack fixed-stride chunks (see GraftRowChunk);
+    * a row whose size ever deviates from the expected stride (defensive —
+    * should not happen for fixed-width schemas) demotes the partition's
+    * remaining rows to the generic layout (mixed chunk kinds within a
+    * partition are fine — each chunk self-describes).
     */
   private def packPartition(it: Iterator[InternalRow],
       types: Array[org.apache.spark.sql.types.DataType]): Iterator[GraftRowChunk] =
@@ -92,40 +136,88 @@ object GraftSqlInternals {
       private val maxChunk = 64 << 20
       private lazy val proj = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(types)
-      def hasNext: Boolean = it.hasNext
+      private val nFields = types.length
+      // fixed-stride eligible: every field a single 8-byte slot (no
+      // variable-length region), and ≤64 fields so the bitset is one word
+      private val fixedEligible = useFixedStride && nFields <= 64 &&
+        types.forall(org.apache.spark.sql.catalyst.expressions.UnsafeRow.isFixedLength)
+      private val fixedStride = 8 + 8 * nFields // bitset word + slots
+      private var demoted = false // odd-sized row seen → generic from there on
+      private var pending: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+
+      private def nextUnsafe(): org.apache.spark.sql.catalyst.expressions.UnsafeRow =
+        it.next() match {
+          case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow => ur
+          case other => proj(other)
+        }
+
+      def hasNext: Boolean = pending != null || it.hasNext
+
       def next(): GraftRowChunk = {
         var bytes = new Array[Byte](1 << 16)
-        val offs = new scala.collection.mutable.ArrayBuffer[Int](1 << 12)
         var used = 0
-        while (it.hasNext && used < maxChunk) {
-          val u = it.next() match {
-            case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow => ur
-            case other => proj(other)
+        def ensure(sz: Int): Unit = if (used + sz > bytes.length) {
+          var cap = bytes.length
+          while (cap < used + sz) cap *= 2
+          bytes = java.util.Arrays.copyOf(bytes, cap)
+        }
+        if (fixedEligible && !demoted) {
+          var n = 0
+          while (pending == null && it.hasNext && used < maxChunk) {
+            val u = nextUnsafe()
+            if (u.getSizeInBytes != fixedStride) { demoted = true; pending = u }
+            else {
+              ensure(fixedStride)
+              org.apache.spark.unsafe.Platform.copyMemory(
+                u.getBaseObject, u.getBaseOffset,
+                bytes, ByteArrayOffset + used, fixedStride)
+              used += fixedStride
+              n += 1
+            }
           }
+          if (n > 0 || pending == null)
+            return new GraftRowChunk(
+              if (bytes.length == used) bytes else java.util.Arrays.copyOf(bytes, used),
+              Array.emptyIntArray, n, fixedStride)
+          // n == 0 && pending != null: first row already deviated — fall
+          // through to the generic layout below, consuming `pending`
+        }
+        val offs = new GraftIntBuffer(1 << 12)
+        while ((pending != null || it.hasNext) && used < maxChunk) {
+          val u = if (pending != null) { val p = pending; pending = null; p }
+            else nextUnsafe()
           val sz = u.getSizeInBytes
-          if (used + sz > bytes.length) {
-            var cap = bytes.length
-            while (cap < used + sz) cap *= 2
-            bytes = java.util.Arrays.copyOf(bytes, cap)
-          }
+          ensure(sz)
           org.apache.spark.unsafe.Platform.copyMemory(
             u.getBaseObject, u.getBaseOffset,
             bytes, ByteArrayOffset + used, sz)
-          offs += used
+          offs.add(used)
           used += sz
         }
-        offs += used // sentinel: end of last row
+        offs.add(used) // sentinel: end of last row
         new GraftRowChunk(
           if (bytes.length == used) bytes else java.util.Arrays.copyOf(bytes, used),
-          offs.toArray, offs.length - 1)
+          offs.toArray, offs.size - 1, 0)
       }
     }
 
-  /** Replay a chunk as InternalRows through ONE reused UnsafeRow view. */
+  /** Replay a chunk as InternalRows through ONE reused UnsafeRow view —
+    * zero-copy under both layouts (fixed-stride rows live at i·stride).
+    */
   private def unpackChunks(chunks: Iterator[GraftRowChunk],
       nFields: Int): Iterator[InternalRow] =
     chunks.flatMap { c =>
-      new Iterator[InternalRow] {
+      if (c.stride > 0) new Iterator[InternalRow] {
+        private val row =
+          new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nFields)
+        private var i = 0
+        def hasNext: Boolean = i < c.n
+        def next(): InternalRow = {
+          row.pointTo(c.bytes, ByteArrayOffset + i.toLong * c.stride, c.stride)
+          i += 1
+          row
+        }
+      } else new Iterator[InternalRow] {
         private val row =
           new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nFields)
         private var i = 0

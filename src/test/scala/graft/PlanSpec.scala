@@ -81,6 +81,38 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     t.handle.unpersist(false); t2.handle.unpersist(false)
   }
 
+  test("fixed-stride truncate: null-free fixed-width frames take the packed layout and round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.{GraftRowChunk, GraftSqlInternals}
+    // the iterate shape: all fixed-width, no nulls → fixed-stride chunks
+    val df = (0 until 20000).map(i => (i.toLong, 1.0 / (i + 1), i % 3))
+      .toDF("id", "rank", "tag")
+    val t = GraftSqlInternals.truncate(df.repartition(5))
+    val chunks = t.handle.asInstanceOf[org.apache.spark.rdd.RDD[GraftRowChunk]]
+      .collect()
+    assert(chunks.nonEmpty && chunks.forall(_.stride == 32), // bitset + 3 slots
+      s"expected 3-slot fixed-stride chunks, got strides ${chunks.map(_.stride).toSet}")
+    assert(chunks.map(_.n).sum == 20000)
+    assert(chunks.forall(_.offsets.isEmpty), "fixed-stride chunk kept an offsets index")
+    val a = df.collect().map(_.toString).sorted
+    val b = t.df.collect().map(_.toString).sorted
+    assert(a.sameElements(b), "fixed-stride cache lost or altered rows")
+
+    // nulls are just bitset bits — the layout stays fixed-stride and exact
+    val dfN = (0 until 5000).map(i =>
+      (i.toLong, if (i >= 2500 && i % 97 == 0) None else Some(i * 0.5)))
+      .toDF("id", "maybe").coalesce(1)
+    val tN = GraftSqlInternals.truncate(dfN)
+    val chunksN = tN.handle.asInstanceOf[org.apache.spark.rdd.RDD[GraftRowChunk]]
+      .collect()
+    assert(chunksN.nonEmpty && chunksN.forall(_.stride == 24),
+      s"nullable fixed-width frame should stay packed, got strides ${chunksN.map(_.stride).toSet}")
+    val aN = dfN.collect().map(_.toString).sorted
+    val bN = tN.df.collect().map(_.toString).sorted
+    assert(aN.sameElements(bN), "nullable fixed-stride cache lost or altered rows")
+    t.handle.unpersist(false); tN.handle.unpersist(false)
+  }
+
   test("flagship entry() returns ranked conversations (driver smoke contract)") {
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
