@@ -454,6 +454,26 @@ object SparkEntry {
     "a4_arnoldi" -> ((s, dir) => {
       val g = TestdataGraph.linkGraph(s, dir)
       ArnoldiPageRank.run(g, ArnoldiPageRank.ArnoldiConfig(tol = 1e-7))._1.toDF()
+    }),
+    // d2/m3: the `queries` configs are ORACLE-GRADE — near-exhaustive
+    // candidate generation (4-bit simhash chunks / single-plane bands) so
+    // the exhaustive all-pairs DuckDB twin is provably matched at sf0.01.
+    // Those parameters are deliberately not scale-safe (a single-plane band
+    // splits N embeddings into 2 buckets → O(N²) candidates). The bench
+    // times the PRODUCTION blocking instead — d2: Manku-standard 4×16-bit
+    // chunks, pigeonhole-complete for its hamming ≤ 3 contract; m3: 4
+    // bands × 12 planes with the maxBucket guard — whose recall coverage
+    // is enforced by PipelineSpec. Same decoupling as a3/a4's deep-tol
+    // oracle configs above.
+    "d2_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(s.read.parquet(s"$dir/documents.parquet"),
+        maxHamming = 3, threshold = 0.5, chunkBits = 16)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+    "m3_neardup_cosine" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.cosineNearDup(emb, threshold = 0.4)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
     })
   )
 
