@@ -18,10 +18,13 @@ import graft.model.PageRankConfig
   */
 object ScaleProbe {
   private def session(threads: Int): SparkSession = {
+    // GRAFT_PROBE_WIDTH overrides the shuffle width (default = threads) —
+    // for measuring tasks-per-core > 1 (straggler smoothing) at one level
+    val width = sys.env.get("GRAFT_PROBE_WIDTH").map(_.toInt).getOrElse(threads)
     val s = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(s"graft-scaleprobe-$threads")
-      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.shuffle.partitions", width.toString)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.local.dir",
