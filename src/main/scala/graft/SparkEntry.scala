@@ -36,6 +36,20 @@ object SparkEntry {
   // (mergeDelta mutates the store).
   private val i1Stores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Temp-store base dir: tmpfs when available (GRAFT_LOCAL_DIR, else
+    * /dev/shm). The i1 query's timed body includes a filesystem copy of the
+    * base store; on a disk-backed java.io.tmpdir that copy alone cost ~0.7 s
+    * of the ~3.5 s query — pure I/O placement, no semantic difference.
+    */
+  private def i1TmpBase(): java.nio.file.Path = {
+    val base = sys.env.get("GRAFT_LOCAL_DIR")
+      .orElse(Option("/dev/shm").filter(p => new java.io.File(p).isDirectory))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val p = java.nio.file.Paths.get(base)
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
   private def i1BaseStore(s: SparkSession, dir: String): String =
     i1Stores.computeIfAbsent(dir, { _ =>
       val raw = TestdataGraph.rawEdges(s, dir).persist()
@@ -46,7 +60,8 @@ object SparkEntry {
       val dict = verts.select(
         concat(lit("u"), col("id").cast("string")).as("conv_id"), col("id"))
       val gBase = GraphOps.normalizeFrom(base, verts, dict)
-      val store = java.nio.file.Files.createTempDirectory("graft_i1base").toString
+      val store = java.nio.file.Files
+        .createTempDirectory(i1TmpBase(), "graft_i1base").toString
       ingest.EdgeStore.write(gBase, store, buckets = 16)
       raw.where(late).write.mode("overwrite").parquet(s"$store/_i1_delta")
       raw.unpersist()
@@ -54,14 +69,37 @@ object SparkEntry {
     })
 
   private def i1CopyStore(s: SparkSession, src: String): String = {
-    val dst = java.nio.file.Files.createTempDirectory("graft_i1work").toString
-    val conf = s.sparkContext.hadoopConfiguration
-    val sp = new org.apache.hadoop.fs.Path(src)
-    val fs = sp.getFileSystem(conf)
-    for (sub <- Seq("data", "vertices", "dict", "meta"))
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, new org.apache.hadoop.fs.Path(s"$src/$sub"),
-        fs, new org.apache.hadoop.fs.Path(s"$dst/$sub"), false, conf)
+    // The base store is a local temp dir by construction; a parallel NIO
+    // tree copy replaces the sequential per-file Hadoop FileUtil walk
+    // (~200 small files incl. .crc sidecars at ~3 ms each ≈ 0.6 s of the
+    // timed query — pure copy mechanics, identical bytes).
+    val dst = java.nio.file.Files
+      .createTempDirectory(i1TmpBase(), "graft_i1work").toString
+    val srcPath = java.nio.file.Paths.get(src)
+    val dstPath = java.nio.file.Paths.get(dst)
+    val files = new java.util.ArrayList[java.nio.file.Path]()
+    for (sub <- Seq("data", "vertices", "dict", "meta")) {
+      val sp = srcPath.resolve(sub)
+      if (java.nio.file.Files.exists(sp)) {
+        val st = java.nio.file.Files.walk(sp)
+        try st.forEach(p => files.add(p): Unit) finally st.close()
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val (dirs, regs) = files.asScala.partition(java.nio.file.Files.isDirectory(_))
+    dirs.foreach(d => java.nio.file.Files.createDirectories(dstPath.resolve(srcPath.relativize(d))))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = regs.map { f =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            java.nio.file.Files.copy(f, dstPath.resolve(srcPath.relativize(f)),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
     dst
   }
 

@@ -230,8 +230,58 @@ object Dedup {
       textCol: String = "text", n: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 1000): DataFrame = {
     val d = ngramHashSets(df, idCol, textCol, n).localCheckpoint(false)
-    verify(ngramCandidates(d, maxDf), d)
+    verify(ngramCandidatesPruned(d, maxDf, threshold), d)
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Candidate pairs from the df-capped inverted index, PRUNED by a provable
+    * Jaccard upper bound before any gram-set join: the pair join's per-pair
+    * row count IS the shared-rare-gram count c (one aggregate replaces the
+    * old `distinct`), and with per-doc totals n and capped-gram counts x
+    * (x = grams excluded from the index by the df cap),
+    *
+    *   |A∩B| ≤ c + min(x_a, x_b)      (shared grams are rare-shared or capped)
+    *   |A∪B| = n_a + n_b − |A∩B| ≥ n_a + n_b − (c + min(x_a, x_b))
+    *
+    * so J(A,B) ≤ (c + min(x_a,x_b)) / (n_a + n_b − c − min(x_a,x_b)) — any
+    * pair whose bound falls below `threshold` cannot pass the exact verify
+    * and is dropped here. On a corpus where the cap never binds the bound is
+    * EXACT (x = 0 → survivors ≈ the output set), so the verify stage joins
+    * full gram arrays onto ~|output| pairs instead of every co-occurring
+    * pair (measured at bench scale: 1.13M candidate pairs → 256 outputs; the
+    * array join over those 1.13M pairs dominated the operator). The doc
+    * sizes ride the posting rows through the existing g-equi-join; the only
+    * added exchange is one narrow window pass over the O(postings) index for
+    * the per-doc rare counts — orders of magnitude fewer bytes than the
+    * removed pair-level gram-array join. Candidate universe (pairs sharing
+    * ≥ 1 uncapped gram) and final output are unchanged.
+    */
+  def ngramCandidatesPruned(d: DataFrame, maxDf: Int,
+      threshold: Double): DataFrame = {
+    val inv = d.select(col("id"), size(col("grams")).cast("long").as("n"),
+      explode(col("grams")).as("g"))
+    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("g"))
+    // per-doc rare-gram count via a window (one pass over the capped index —
+    // a groupBy+rejoin would recompute the df/semi-join subtree twice), then
+    // checkpoint the narrow posting table so the self-join's two sides replay
+    // it instead of re-deriving the index per side
+    val posts = inv.join(rare, Seq("g"), "left_semi")
+      .withColumn("nr", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .select(col("g"), col("id"), col("n"), (col("n") - col("nr")).as("x"))
+      .localCheckpoint(false)
+    val shared = posts.select(col("g"), col("id").as("a"),
+        col("n").as("na"), col("x").as("xa"))
+      .join(posts.select(col("g"), col("id").as("b"),
+        col("n").as("nb"), col("x").as("xb")), "g")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("xa")).as("xa"),
+        max(col("nb")).as("nb"), max(col("xb")).as("xb"))
+    val interUb = col("c") + least(col("xa"), col("xb"))
+    shared.where(interUb >= lit(threshold) * (col("na") + col("nb") - interUb))
+      .select(col("a"), col("b"))
   }
 
   /** (id, grams) word-n-gram sets as distinct xxhash64 values — the fused
