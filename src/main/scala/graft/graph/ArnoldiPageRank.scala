@@ -326,8 +326,11 @@ object ArnoldiPageRank {
     }
 
     prep.close()
-    // sign-fix + L1-normalize (deviation from reference; see scaladoc)
-    val signedSum = x.agg(sum(col("x"))).head().getDouble(0)
+    // sign-fix + L1-normalize (deviation from reference; see scaladoc).
+    // eᵀx of the final iterate is `ex` — measured by the observe of the job
+    // that materialized this x (restart loop) or by the init aggregate (no
+    // restarts ran); a dedicated agg job here re-measured the same sum.
+    val signedSum = ex
     val sign = if (signedSum < 0) -1.0 else 1.0
     val ranks = x.select(col("id"),
       (col("x") * lit(sign) /

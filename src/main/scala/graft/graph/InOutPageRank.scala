@@ -125,28 +125,77 @@ object InOutPageRank {
     var iter = startIter
     var reason: ConvergedReason = ConvergedReason.MaxIterations
 
+    // Power-mode scalar state: dᵀx and eᵀx of the CURRENT frame, measured by
+    // the job that materialized it (the single-action kernel of
+    // PageRank.run). `powerReady` marks that the frame carries the static
+    // dangling indicator and the scalars are current; the transition job
+    // below establishes both in one materialization.
+    var dtxP = 0.0
+    var sxP = 0.0
+    var powerReady = false
+
+    /** Transition into the power kernel: attach the static dangling
+      * indicator (dang=1 iff no out-edges) unless the frame already carries
+      * it (a resumed power-mode snapshot), and measure dᵀx, eᵀx — ONE job.
+      * Afterwards every power step is a single materializing job whose
+      * observe feeds the next step's ω, exactly the PageRank.run kernel
+      * (ω = 1 − α(eᵀx − dᵀx) = 1 − ‖αPᵀx‖₁, ppagerank.cc:307-315 — the
+      * measured-sum form the old two-job step computed with a dedicated
+      * aggregation pass per step).
+      */
+    def enterPower(fr: DataFrame): DataFrame = {
+      val carry = Seq(col("id"), col("dang")) ++
+        (if (hasV) Seq(col("v")) else Nil)
+      val withDang =
+        if (fr.columns.contains("dang")) fr.select(carry :+ col("x"): _*)
+        else {
+          val srcs = g.edges.select(col("src").as("id")).distinct()
+            .withColumn("nd", lit(1))
+          fr.join(srcs, Seq("id"), "left")
+            .select((Seq(col("id"),
+              when(col("nd").isNull, 1.0).otherwise(0.0).as("dang")) ++
+              (if (hasV) Seq(col("v")) else Nil)) :+ col("x"): _*)
+        }
+      val (t, row) = truncateAndAgg(withDang,
+        Seq(sum(col("dang") * col("x")), sum(col("x"))))
+      dtxP = row.getDouble(0)
+      sxP = row.getDouble(1)
+      powerReady = true
+      t
+    }
+
     while (iter < cfg.maxIter && delta >= cfg.tol) {
       val t0 = System.nanoTime()
       if (!innerMode) {
         // plain power step (ppagerank.cc:385-409): y = αPᵀx; ω = 1−‖y‖₁;
-        // y += ωv; δ = ‖y − x‖₁; x ← y
-        val yraw = PageRank.spmv(prep, frame.select(col("id"), col("x").as("rank")))
-          .withColumn("y", col("y") * alpha)
-        val carry = Seq(col("id")) ++ (if (hasV) Seq(col("v")) else Nil)
-        val jPre = frame.select(carry :+ col("x"): _*)
-          .join(yraw, Seq("id"), "left")
-          .withColumn("ay", coalesce(col("y"), lit(0.0))).drop("y")
-        val (j, jRow) = truncateAndAgg(jPre, Seq(sum(col("ay"))))
-        val s = Option(jRow.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
-        val omega = 1.0 - s
+        // y += ωv; δ = ‖y − x‖₁; x ← y. ONE job: the residual, dᵀx and eᵀx
+        // of the new iterate ride the materializing tasks as observe
+        // accumulators; ω comes from the PREVIOUS step's scalars via
+        // ω = 1 − α(eᵀx − dᵀx) (identical to 1 − ‖αPᵀx‖₁ in exact
+        // arithmetic — P is row-stochastic, so eᵀPᵀx = eᵀx − dᵀx).
+        if (!powerReady) frame = enterPower(frame)
+        val omega = 1.0 - alpha * (sxP - dtxP)
         val om = GraftSqlInternals.stableLit(omega)
-        val nxtPre = j.select(carry ++ Seq(
-          (col("ay") + om * vCol).as("x"),
-          abs(col("ay") + om * vCol - col("x")).as("diff")): _*)
-        val (nxt, nxtRow) = truncateAndAgg(nxtPre, Seq(sum(col("diff"))))
-        delta = nxtRow.getDouble(0)
-        frame = nxt.drop("diff")
-        sx = s + omega * sv
+        val carry = Seq(col("id"), col("dang")) ++ (if (hasV) Seq(col("v")) else Nil)
+        val yraw = PageRank.spmv(prep, frame.select(col("id"), col("x").as("rank")))
+        val xNew = lit(alpha) * coalesce(col("y"), lit(0.0)) + om * vCol
+        val next = frame.select(carry :+ col("x").as("x_prev"): _*)
+          .join(yraw.hint("shuffle_hash"), Seq("id"), "left")
+          .withColumn("x", xNew)
+          .observe("pw",
+            sum(abs(col("x") - col("x_prev"))).as("delta"),
+            sum(col("dang") * col("x")).as("dtx"),
+            sum(col("x")).as("sx"))
+          .select(carry :+ col("x"): _*)
+        val (t, observed) = GraftSqlInternals.truncateObserved(next)
+        prevHandle.foreach(_.handle.unpersist(false))
+        prevHandle = Some(t)
+        val row = observed("pw")
+        delta = row.getDouble(0)
+        dtxP = row.getDouble(1)
+        sxP = row.getDouble(2)
+        frame = t.df
+        sx = sxP
       } else {
         // f = (α−β)y + (1−α)v (ppagerank.cc:412-421)
         var st = frame.withColumn("f",
@@ -158,17 +207,24 @@ object InOutPageRank {
         var innerDelta = Double.MaxValue
         var exitedAtZero = false
         var continue = true
+        var lastOdiff = Double.MaxValue
         while (continue && innerIter < cfg.maxInnerIter) {
           // x ← βy + f; y ← Bx; δ_in = ‖f + βy_new − x‖₁ (ppagerank.cc:423-435)
           val withX = st.withColumn("x", lit(beta) * col("y") + col("f"))
           val sxInner = beta * sy + sf
           val (multd, _) = danglingMult(withX.drop("y"), sxInner)
           sy = sxInner // eᵀ(Bx) = eᵀx
-          val scoredPre = multd
-            .withColumn("diff", abs(col("f") + lit(beta) * col("y") - col("x")))
-          val (scored, scoredRow) = truncateAndAgg(scoredPre, Seq(sum(col("diff"))))
-          innerDelta = scoredRow.getDouble(0)
-          st = scored.drop("diff")
+          // inner residual AND the outer residual δ = ‖x − αy − (1−α)v‖₁
+          // (ppagerank.cc:456-465) in ONE light aggregate over the frame the
+          // danglingMult job just cached — the old shape paid a second full
+          // persist pass per sweep for the inner sum and a third
+          // materialization after the loop for the outer sum
+          val row = multd.agg(
+            sum(abs(col("f") + lit(beta) * col("y") - col("x"))),
+            sum(abs(col("x") - lit(alpha) * col("y") - lit(1 - alpha) * vCol))).head()
+          innerDelta = row.getDouble(0)
+          lastOdiff = row.getDouble(1)
+          st = multd
           sx = sxInner
           innerIter += 1
           if (innerDelta < cfg.eta) {
@@ -176,20 +232,19 @@ object InOutPageRank {
             continue = false
           }
         }
-        // outer residual δ = ‖x − αy − (1−α)v‖₁ (ppagerank.cc:456-465)
-        val outerPre = st
-          .withColumn("odiff",
-            abs(col("x") - lit(alpha) * col("y") - lit(1 - alpha) * vCol))
-        val (scoredOuter, outerRow) = truncateAndAgg(outerPre, Seq(sum(col("odiff"))))
-        delta = outerRow.getDouble(0)
+        delta = lastOdiff
         if (exitedAtZero) {
           // x ← αy + (1−α)v (ppagerank.cc:467-477) before switching to power
+          // (lazy projection over the cached sweep frame; the power
+          // transition job materializes it together with the dangling
+          // indicator and the ω scalars)
           val carry = Seq(col("id")) ++ (if (hasV) Seq(col("v")) else Nil)
-          frame = scoredOuter.select(carry :+
+          frame = st.select(carry :+
             (lit(alpha) * col("y") + lit(1 - alpha) * vCol).as("x"): _*)
           sx = alpha * sy + (1 - alpha) * sv
+          powerReady = false
         } else {
-          frame = scoredOuter.drop("odiff")
+          frame = st
         }
       }
       iter += 1

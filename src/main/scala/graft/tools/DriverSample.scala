@@ -38,6 +38,10 @@ object DriverSample {
         val st = main.getStackTrace
         // classify by the first recognizable subsystem frame
         val frame = st.collectFirst {
+          case f if f.getClassName.contains("optimizer") &&
+            !f.getClassName.contains("RuleExecutor") &&
+            f.getMethodName == "apply" =>
+            "rule:" + f.getClassName.split("\\.").last.split("\\$").head
           case f if f.getClassName.contains("janino") => "janino-compile"
           case f if f.getClassName.contains("CodeGenerator") ||
             f.getClassName.contains("doGenCode") ||
