@@ -118,6 +118,12 @@ object GraphOps {
     val spark = raw.sparkSession
     import spark.implicits._
 
+    // rawEdges stays persisted for the graph's lifetime: EdgeStore.write and
+    // the i1/k-stat consumers re-read it, and recomputing it replays the full
+    // upstream derivation (transcript scan + link window). Sessions that
+    // build MANY graphs accumulate these caches — release them by
+    // unpersisting g.rawEdges/g.edges/g.vertices when a graph is retired
+    // (the bench/Verify mains build one memoized graph per (session, dir)).
     val rawEdges = raw.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double")).as[Edge].persist()
     val nE = rawEdges.count()

@@ -509,6 +509,12 @@ object EdgeStore {
     import spark.implicits._
     requireConsistent(spark, path)
     val layout = readLayout(spark, path)
+    // edges and vertices are repartitioned at the SAME (session) width so the
+    // solvers' iterate joins stay co-partitioned; the solvers then cap their
+    // iteration width to edges.rdd.getNumPartitions — which equals this
+    // width by construction. (Repartitioning by an explicit data-derived
+    // count would also work, but both sides must agree or every iteration
+    // re-exchanges one side.)
     val edges = scanTbl(spark, path, "norm", layout)
       .select(col("src"), col("dst"), col("weight")).as[Edge]
       .repartition(col("src")) // restore co-partitioning for rank joins

@@ -180,8 +180,16 @@ object Dedup {
       chunkBits: Int = 16): DataFrame = {
     // pigeonhole: 64/chunkBits chunks guarantee a shared chunk for any pair
     // with hamming ≤ 64/chunkBits − 1 — narrower chunks buy a stronger
-    // recall bound at the cost of more (bucket-bounded) candidate pairs
+    // recall bound at the cost of more (bucket-bounded) candidate pairs.
+    // A maxHamming ABOVE that bound is allowed (the d2 oracle config runs
+    // hamming 63 over 4-bit chunks deliberately) but recall is then only
+    // guaranteed up to the bound — warn instead of silently under-recalling.
     require(64 % chunkBits == 0, s"chunkBits must divide 64, got $chunkBits")
+    if (maxHamming > 64 / chunkBits - 1)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simhashCandidates: maxHamming=$maxHamming exceeds the pigeonhole " +
+          s"recall bound ${64 / chunkBits - 1} for chunkBits=$chunkBits — " +
+          "pairs with hamming above the bound may be missed")
     val nChunks = 64 / chunkBits
     val chunkMask = (1L << chunkBits) - 1
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))

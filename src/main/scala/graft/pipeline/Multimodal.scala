@@ -245,8 +245,11 @@ object Multimodal {
       else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (b.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return bad
     var w = 0; var h = 0; var bits = 0; var comp = -1L
-    val frames = scala.collection.mutable.ArrayBuffer[Int]() // frame offsets
-    var frameLenOk = true
+    // frame (offset, declared chunk size): the size travels with the offset
+    // so each SAMPLED frame can be validated against rowBytes*h — a chunk
+    // shorter than one frame must yield ok=false, not silently average
+    // bytes of adjacent chunks (the old check inspected only frame 0)
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     def walk(start: Int, end: Int): Unit = {
       var off = start
       var guard = 0
@@ -263,8 +266,7 @@ object Multimodal {
           comp = u32(off + 8 + 16)
         } else if (id.length == 4 &&
             (id.endsWith("db") || id.endsWith("dc"))) {
-          frames += off + 8
-          if (frames.length == 1 && sz == 0) frameLenOk = false
+          frames += ((off + 8, sz))
         }
         off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
       }
@@ -272,8 +274,8 @@ object Multimodal {
     val riffEnd = math.min(b.length.toLong, u32(4) + 8L).toInt
     walk(12, riffEnd)
     // only the format this decoder understands: uncompressed 24-bit DIB
-    if (w <= 0 || h <= 0 || bits != 24 || comp != 0L ||
-        frames.isEmpty || !frameLenOk) return bad
+    if (w <= 0 || h <= 0 || bits != 24 || comp != 0L || frames.isEmpty)
+      return bad
     val rowBytes = ((w * 3 + 3) / 4) * 4
     val n = frames.length
     val sampled = math.min(frameCount, n)
@@ -282,8 +284,9 @@ object Multimodal {
     val npx = (w.toLong * h).toFloat
     var i = 0
     while (i < sampled) {
-      val foff = frames(i * n / sampled) // evenly spaced sample plan
-      if (foff + rowBytes.toLong * h > b.length) return bad
+      val (foff, fsz) = frames(i * n / sampled) // evenly spaced sample plan
+      if (fsz < rowBytes.toLong * h || foff + rowBytes.toLong * h > b.length)
+        return bad
       var sr = 0L; var sg = 0L; var sb = 0L
       var y = 0
       while (y < h) {

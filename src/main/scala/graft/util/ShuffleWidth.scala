@@ -46,6 +46,14 @@ object ShuffleWidth {
     * `width` (session-scoped conf, restored in finally). No-op when the
     * session is already at or below the cap, so full-scale runs are
     * untouched.
+    *
+    * Single-threaded-session assumption: the override is session-global, so
+    * two solvers planning CONCURRENTLY on one SparkSession can observe each
+    * other's width (and interleaved finallys can restore the wrong value),
+    * and frames returned lazily from inside the scope plan at the restored
+    * width. Every engine solver materializes (lineage-truncates) inside the
+    * scope, and the mains drive solvers sequentially; concurrent solver use
+    * needs a session clone (`spark.newSession`) per solver instead.
     */
   def withWidth[T](spark: SparkSession, width: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
