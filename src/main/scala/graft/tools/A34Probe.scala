@@ -39,6 +39,12 @@ object A34Probe {
     val g = TestdataGraph.linkGraph(spark, sfDir)
     println(s"[a34] graph: V=${g.numVertices} E=${g.numEdges} " +
       s"parts=${g.edges.rdd.getNumPartitions}")
+    // A/B hatch: GRAFT_PROBE_WSCG=0 disables whole-stage codegen for the
+    // solves below (micro-job floor experiment)
+    if (sys.env.get("GRAFT_PROBE_WSCG").contains("0")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      println("[a34] wholeStage codegen DISABLED")
+    }
     for (r <- 1 to reps) {
       var j0 = jobs.get; var s0 = stages.get; var k0 = tasks.get
       var t0 = System.nanoTime()
