@@ -66,6 +66,13 @@ object EdgeStore {
     import spark.implicits._
     Seq((buckets, 2)).toDF("buckets", "layout").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
+    // fast-path sidecar: every merge (and every read) needs (buckets,
+    // layout), and scanning the 1-row meta parquet costs a Spark job each
+    // time; the text twin is read driver-side in microseconds. The parquet
+    // tree stays authoritative for stores written by older code (readMeta
+    // falls back when the sidecar is absent).
+    val (fs, _) = hfs(spark, path)
+    writeSmallFile(fs, s"$path/_meta.txt", s"buckets=$buckets\nlayout=2\n")
   }
 
   private def hfs(spark: SparkSession, path: String) = {
@@ -79,38 +86,42 @@ object EdgeStore {
     * guessed bucket count would prune with the wrong bucket mapping and
     * silently drop touched sources' existing edges.
     */
-  def readBuckets(spark: SparkSession, path: String): Int = {
-    val (fs, p) = hfs(spark, s"$path/meta")
-    if (!fs.exists(p)) 64
-    else spark.read.parquet(p.toString).select(col("buckets")).head().getInt(0)
-  }
+  def readBuckets(spark: SparkSession, path: String): Int =
+    readMeta(spark, path)._1
 
   /** Store layout version: 2 = combined `data/tbl=…/bucket=…` tree,
     * 1 = legacy separate `edges/` + `raw_edges/` trees (pre-meta or
     * pre-layout-column stores are v1 by construction).
     */
-  def readLayout(spark: SparkSession, path: String): Int = {
-    val (fs, p) = hfs(spark, s"$path/meta")
-    if (!fs.exists(p)) 1
-    else {
-      val meta = spark.read.parquet(p.toString)
-      if (!meta.columns.contains("layout")) 1
-      else meta.select(col("layout")).head().getInt(0)
-    }
-  }
+  def readLayout(spark: SparkSession, path: String): Int =
+    readMeta(spark, path)._2
 
   /** (buckets, layout) in ONE meta read — readBuckets + readLayout back to
-    * back cost two separate scan jobs per merge for one 1-row file.
+    * back cost two separate scan jobs per merge for one 1-row file. Prefers
+    * the `_meta.txt` sidecar (driver-side read, no Spark job); falls back to
+    * the meta parquet for stores written before the sidecar existed.
     */
   private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
-    val (fs, p) = hfs(spark, s"$path/meta")
-    if (!fs.exists(p)) (64, 1)
-    else {
-      val meta = spark.read.parquet(p.toString)
-      val hasLayout = meta.columns.contains("layout")
-      val row = meta.select(
-        col("buckets") +: (if (hasLayout) Seq(col("layout")) else Nil): _*).head()
-      (row.getInt(0), if (hasLayout) row.getInt(1) else 1)
+    val (fs, sp) = hfs(spark, s"$path/_meta.txt")
+    if (fs.exists(sp)) {
+      val in = fs.open(sp)
+      val body = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val kv = body.linesIterator.flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k.trim -> v.trim)
+        case _ => None
+      }).toMap
+      (kv("buckets").toInt, kv("layout").toInt)
+    } else {
+      val (_, p) = hfs(spark, s"$path/meta")
+      if (!fs.exists(p)) (64, 1)
+      else {
+        val meta = spark.read.parquet(p.toString)
+        val hasLayout = meta.columns.contains("layout")
+        val row = meta.select(
+          col("buckets") +: (if (hasLayout) Seq(col("layout")) else Nil): _*).head()
+        (row.getInt(0), if (hasLayout) row.getInt(1) else 1)
+      }
     }
   }
 
@@ -377,6 +388,29 @@ object EdgeStore {
     // broadcast would OOM the driver
     val affSrcs = if (nTouched <= 5000000L) broadcast(affT.df) else affT.df
 
+    // ---- vertex-domain growth (read-only observe job), submitted BEFORE
+    // the merge materialization so it overlaps it (guide §2.6: independent
+    // jobs back-fill each other's tails; it reads only the cached delta and
+    // the vertices tree, disjoint from everything the merge reads/writes).
+    // Its result is awaited after the data rewrite; the append write below
+    // stays sequenced after noteFirstWrite like every other mutation. ----
+    val vertsScan = spark.read.parquet(s"$path/vertices")
+    val vertPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { // daemon: a merge failing before the await must
+        val t = new Thread(r) // not leave a non-daemon thread pinning the JVM
+        t.setDaemon(true)
+        t.setName("edgestore-vertex-growth")
+        t
+      })
+    val newFut = vertPool.submit(
+      new java.util.concurrent.Callable[(GI.Truncated, Map[String, org.apache.spark.sql.Row])] {
+        def call() = GI.truncateObserved(
+          delta.select(col("src").as("id"))
+            .union(delta.select(col("dst").as("id"))).distinct()
+            .join(vertsScan, Seq("id"), "left_anti")
+            .observe("nv", count(lit(1)).as("n")))
+      })
+
     // ---- job 2: ONE materialization of everything the rewrites need.
     // Eager checkpoint before the first overwrite is load-bearing: every
     // frame below reads the store's parquet files, and a lazy recompute
@@ -463,13 +497,10 @@ object EdgeStore {
       }
     }
 
-    // ---- job 3: vertex-domain growth, count as an observe side-metric ----
-    val verts = spark.read.parquet(s"$path/vertices")
-    val (newT, newObs) = GI.truncateObserved(
-      delta.select(col("src").as("id"))
-        .union(delta.select(col("dst").as("id"))).distinct()
-        .join(verts, Seq("id"), "left_anti")
-        .observe("nv", count(lit(1)).as("n")))
+    // ---- vertex-domain growth: await the overlapped observe job ----
+    val (newT, newObs) =
+      try newFut.get()
+      finally vertPool.shutdown()
     val newVerts = newT.df
     val nNew = newObs("nv").getLong(0)
     if (nNew > 0) {

@@ -473,11 +473,21 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     val store = tmp("inc_meta")
     EdgeStore.write(buildGraph(rawEdges(60)), store, buckets = 4)
     assert(EdgeStore.readBuckets(spark, store) == 4)
-    // corrupt the meta dir: files exist but are not readable parquet
+    // corrupt the meta dir: files exist but are not readable parquet.
+    // While the _meta.txt sidecar (the job-free fast path) is intact it
+    // legitimately serves the value — no guessing involved
     val metaDir = new java.io.File(store, "meta")
     metaDir.listFiles().foreach(_.delete())
     Files.writeString(Paths.get(store, "meta", "part-corrupt.parquet"), "junk")
+    assert(EdgeStore.readBuckets(spark, store) == 4)
+    // with the sidecar gone, the corrupt parquet fallback must propagate,
+    // not guess 64
+    Files.delete(Paths.get(store, "_meta.txt"))
     intercept[Exception] { EdgeStore.readBuckets(spark, store) }
+    // a corrupt sidecar propagates too
+    Files.writeString(Paths.get(store, "_meta.txt"), "junk")
+    intercept[Exception] { EdgeStore.readBuckets(spark, store) }
+    Files.delete(Paths.get(store, "_meta.txt"))
     // genuinely absent meta (pre-meta store) still defaults
     metaDir.listFiles().foreach(_.delete()); metaDir.delete()
     assert(EdgeStore.readBuckets(spark, store) == 64)
