@@ -182,6 +182,45 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(verified == Set((9001L, 9002L)))
   }
 
+  test("pruned ngram candidates: sound bound, verify-output equivalence under a binding df cap") {
+    import spark.implicits._
+    // corpus where the df cap BINDS (a trigram shared by 40 docs is capped
+    // at maxDf=10), so the pruning bound must account for capped grams
+    // (x > 0) — a shared-count-only prune would be unsound here
+    val rnd = new scala.util.Random(11)
+    val shared = Seq.tabulate(40)(i =>
+      (i.toLong, s"xxx yyy zzz doc$i word${rnd.nextInt(1000)} tail$i"))
+    // planted pair whose similarity is carried ENTIRELY by capped grams
+    // except one rare trigram — the bound must keep it
+    val planted = Seq(
+      (8001L, "xxx yyy zzz omega psi chi"),
+      (8002L, "xxx yyy zzz omega psi phi"))
+    val corpus = (shared ++ planted).toDF("doc_id", "text")
+    val d = Dedup.ngramHashSets(corpus, n = 3).localCheckpoint(false)
+    val unpruned = Dedup.ngramCandidates(d, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Dedup.ngramCandidatesPruned(d, maxDf = 10, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness of the candidate stage: pruning only ever narrows
+    assert(pruned.subsetOf(unpruned))
+    // end-to-end equivalence: verify over pruned candidates equals verify
+    // over the full candidate set (the bound never drops a passing pair)
+    def out(th: Double) = Dedup.ngramJaccardPairs(corpus, n = 3,
+      threshold = th, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+    def outUnpruned(th: Double) = {
+      val m = Dedup.getClass.getDeclaredMethods.find(_.getName == "verify").get
+      m.setAccessible(true)
+      m.invoke(Dedup, Dedup.ngramCandidates(d, 10), d)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .where(col("jaccard") >= th)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+    }
+    for (th <- Seq(0.3, 0.5)) assert(out(th) == outUnpruned(th), s"threshold $th")
+  }
+
   test("banded cosine LSH finds planted near-dups; bucket guard bounds pileups") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
