@@ -20,8 +20,12 @@ import graft.model._
   * η = 1e-2 (350-351), max inner 1000 (353-355).
   *
   * Scalar bookkeeping: B is column-stochastic, so eᵀ(Bx) = eᵀx; the sums of
-  * x and f are tracked analytically instead of with extra reductions — each
-  * inner sweep costs the same two jobs as a power step.
+  * x and f are tracked analytically instead of with extra reductions. The
+  * frame carries the static dangling indicator, so dᵀx of each sweep step is
+  * known analytically BEFORE the step's job (dᵀx = β·dᵀy + dᵀf, seeded by
+  * the init job's observes) — each inner sweep step is ONE materializing job
+  * whose observe carries the inner and outer residuals, the same
+  * single-action kernel as a power step.
   */
 object InOutPageRank {
 
@@ -75,18 +79,20 @@ object InOutPageRank {
       (t.df, observed("agg"))
     }
 
-    /** y = Bx = Pᵀx + (dᵀx)·v with dᵀx = sx − eᵀPᵀx; frame in: (id, x[, carry…]),
-      * out: (id, …, y). Returns (frame, eᵀPᵀx) — one job (the aggregate).
+    /** Static dangling indicator (dang=1 iff no out-edges) as a lazy column —
+      * folded into whatever job materializes the frame next. Carried through
+      * the whole solve: the inner sweep's analytic dᵀx recurrence and the
+      * power kernel's observe both read it.
       */
-    def danglingMult(frame: DataFrame, sx: Double): (DataFrame, Double) = {
-      val yraw = PageRank.spmv(prep, frame.select(col("id"), col("x").as("rank")))
-      val pre = frame.join(yraw, Seq("id"), "left")
-        .withColumn("yraw", coalesce(col("y"), lit(0.0))).drop("y")
-      val (joined, row) = truncateAndAgg(pre, Seq(sum(col("yraw"))))
-      val s = Option(row.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
-      val dtx = sx - s
-      (joined.withColumn("y", col("yraw") + GraftSqlInternals.stableLit(dtx) * vCol).drop("yraw"), s)
-    }
+    def attachDang(fr: DataFrame): DataFrame =
+      if (fr.columns.contains("dang")) fr
+      else {
+        val srcs = g.edges.select(col("src").as("id")).distinct()
+          .withColumn("nd", lit(1))
+        fr.join(srcs, Seq("id"), "left")
+          .withColumn("dang", when(col("nd").isNull, 1.0).otherwise(0.0))
+          .drop("nd")
+      }
 
     // Resume (north rule): the snapshot carries the iterate frame plus `im`
     // (the inner/power mode flag — the only non-recomputable scalar state;
@@ -112,11 +118,35 @@ object InOutPageRank {
         .withColumn("x", col("v"))
       case None => g.vertices.withColumn("x", lit(vUniform))
     })
+    frame = attachDang(frame) // no-op when the (snapshot) frame carries it
     val sv = if (hasV) frame.agg(sum(col("v"))).head().getDouble(0) else 1.0
     var sx = if (resumed.isDefined) frame.agg(sum(col("x"))).head().getDouble(0) else sv
+    // dᵀv (static) and dᵀy of the frame's y column — the seeds of the inner
+    // sweep's analytic dᵀx recurrence (dᵀx = β·dᵀy + dᵀf)
+    var dv = 0.0
+    var dy = 0.0
     if (resumed.isEmpty || innerMode && !frame.columns.contains("y")) {
-      val (f0, _) = danglingMult(frame, sx)
-      frame = f0 // (id, [v,] x, y)
+      // init y₀ = Bx₀ = Pᵀx₀ + (dᵀx₀)v with dᵀx₀ = sx − eᵀPᵀx₀
+      // (ppagerank.cc:366-377, implicit form 754-767) — ONE job whose
+      // observe also measures dᵀv and dᵀ(Pᵀx₀) for the recurrence seeds
+      val yraw = PageRank.spmv(prep, frame.select(col("id"), col("x").as("rank")))
+      val pre = frame.join(yraw, Seq("id"), "left")
+        .withColumn("yraw", coalesce(col("y"), lit(0.0))).drop("y")
+      val (joined, row) = truncateAndAgg(pre, Seq(sum(col("yraw")),
+        sum(col("dang") * col("yraw")), sum(col("dang") * vCol)))
+      val s = Option(row.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val dtx0 = sx - s
+      dv = Option(row.get(2)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      dy = Option(row.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0) + dtx0 * dv
+      frame = joined
+        .withColumn("y", col("yraw") + GraftSqlInternals.stableLit(dtx0) * vCol)
+        .drop("yraw") // (id, dang, [v,] x, y)
+    } else if (innerMode) {
+      // resumed mid-inner-mode snapshot (carries y): re-measure the seeds
+      val row = frame.agg(sum(col("dang") * col("y")),
+        sum(col("dang") * vCol)).head()
+      dy = row.getDouble(0)
+      dv = row.getDouble(1)
     }
 
     val trace = scala.collection.mutable.ArrayBuffer[IterMetric]()
@@ -146,16 +176,7 @@ object InOutPageRank {
     def enterPower(fr: DataFrame): DataFrame = {
       val carry = Seq(col("id"), col("dang")) ++
         (if (hasV) Seq(col("v")) else Nil)
-      val withDang =
-        if (fr.columns.contains("dang")) fr.select(carry :+ col("x"): _*)
-        else {
-          val srcs = g.edges.select(col("src").as("id")).distinct()
-            .withColumn("nd", lit(1))
-          fr.join(srcs, Seq("id"), "left")
-            .select((Seq(col("id"),
-              when(col("nd").isNull, 1.0).otherwise(0.0).as("dang")) ++
-              (if (hasV) Seq(col("v")) else Nil)) :+ col("x"): _*)
-        }
+      val withDang = attachDang(fr).select(carry :+ col("x"): _*)
       val (t, row) = truncateAndAgg(withDang,
         Seq(sum(col("dang") * col("x")), sum(col("x"))))
       dtxP = row.getDouble(0)
@@ -197,12 +218,14 @@ object InOutPageRank {
         frame = t.df
         sx = sxP
       } else {
-        // f = (α−β)y + (1−α)v (ppagerank.cc:412-421)
+        // f = (α−β)y + (1−α)v (ppagerank.cc:412-421); f is FIXED across the
+        // sweep, so dᵀf is one scalar computed from the recurrence seeds
         var st = frame.withColumn("f",
           lit(alpha - beta) * col("y") + lit(1 - alpha) * vCol)
         // sums: eᵀy = eᵀx (B column-stochastic); eᵀf
         var sy = sx
         var sf = (alpha - beta) * sy + (1 - alpha) * sv
+        val dfD = (alpha - beta) * dy + (1 - alpha) * dv
         var innerIter = 0
         var innerDelta = Double.MaxValue
         var exitedAtZero = false
@@ -210,21 +233,36 @@ object InOutPageRank {
         var lastOdiff = Double.MaxValue
         while (continue && innerIter < cfg.maxInnerIter) {
           // x ← βy + f; y ← Bx; δ_in = ‖f + βy_new − x‖₁ (ppagerank.cc:423-435)
-          val withX = st.withColumn("x", lit(beta) * col("y") + col("f"))
+          // in ONE materializing job: dᵀx = β·dᵀy + dᵀf is known BEFORE the
+          // job (d is static, f fixed across the sweep — same scalar as the
+          // old measured sx − eᵀPᵀx form in exact arithmetic), so
+          // y_new = Pᵀx + (dᵀx)v is an in-job column and the inner residual,
+          // the outer residual δ = ‖x − αy − (1−α)v‖₁ (ppagerank.cc:456-465)
+          // and the next step's dᵀ(Pᵀx) all ride the observe — the old shape
+          // paid a second aggregation job per sweep step for the residuals
+          val dtxK = beta * dy + dfD
           val sxInner = beta * sy + sf
-          val (multd, _) = danglingMult(withX.drop("y"), sxInner)
+          val dtL = GraftSqlInternals.stableLit(dtxK)
+          val withX = st.withColumn("x", lit(beta) * col("y") + col("f")).drop("y")
+          val yraw = PageRank.spmv(prep, withX.select(col("id"), col("x").as("rank")))
+          val carry = Seq(col("id"), col("dang")) ++ (if (hasV) Seq(col("v")) else Nil)
+          val next = withX.join(yraw.hint("shuffle_hash"), Seq("id"), "left")
+            .withColumn("yc", coalesce(col("y"), lit(0.0)))
+            .withColumn("yn", col("yc") + dtL * vCol)
+            .observe("in",
+              sum(col("dang") * col("yc")).as("dyraw"),
+              sum(abs(col("f") + lit(beta) * col("yn") - col("x"))).as("din"),
+              sum(abs(col("x") - lit(alpha) * col("yn") - lit(1 - alpha) * vCol)).as("dout"))
+            .select(carry ++ Seq(col("f"), col("x"), col("yn").as("y")): _*)
+          val (t, observed) = GraftSqlInternals.truncateObserved(next)
+          prevHandle.foreach(_.handle.unpersist(false))
+          prevHandle = Some(t)
+          val row = observed("in")
+          dy = row.getDouble(0) + dtxK * dv // dᵀy_new = dᵀ(Pᵀx) + (dᵀx)(dᵀv)
+          innerDelta = row.getDouble(1)
+          lastOdiff = row.getDouble(2)
+          st = t.df
           sy = sxInner // eᵀ(Bx) = eᵀx
-          // inner residual AND the outer residual δ = ‖x − αy − (1−α)v‖₁
-          // (ppagerank.cc:456-465) in ONE light aggregate over the frame the
-          // danglingMult job just cached — the old shape paid a second full
-          // persist pass per sweep for the inner sum and a third
-          // materialization after the loop for the outer sum
-          val row = multd.agg(
-            sum(abs(col("f") + lit(beta) * col("y") - col("x"))),
-            sum(abs(col("x") - lit(alpha) * col("y") - lit(1 - alpha) * vCol))).head()
-          innerDelta = row.getDouble(0)
-          lastOdiff = row.getDouble(1)
-          st = multd
           sx = sxInner
           innerIter += 1
           if (innerDelta < cfg.eta) {
@@ -236,9 +274,9 @@ object InOutPageRank {
         if (exitedAtZero) {
           // x ← αy + (1−α)v (ppagerank.cc:467-477) before switching to power
           // (lazy projection over the cached sweep frame; the power
-          // transition job materializes it together with the dangling
-          // indicator and the ω scalars)
-          val carry = Seq(col("id")) ++ (if (hasV) Seq(col("v")) else Nil)
+          // transition job materializes it — dang rides along, so the
+          // transition needs no dangling join)
+          val carry = Seq(col("id"), col("dang")) ++ (if (hasV) Seq(col("v")) else Nil)
           frame = st.select(carry :+
             (lit(alpha) * col("y") + lit(1 - alpha) * vCol).as("x"): _*)
           sx = alpha * sy + (1 - alpha) * sv

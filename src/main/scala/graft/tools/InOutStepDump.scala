@@ -9,7 +9,11 @@ import graft.model.PageRankConfig
 
 /** Dumps the physical plan of ONE inner-outer power-phase step job as
   * restructured in round 6 (single materializing job: SpMV join + iterate
-  * join + observe), for the plans/r06 evidence. Args: <outFile>.
+  * join + observe), for the plans/r06 evidence. Args: <outFile>
+  * [<innerOutFile>] — the optional second file gets the INNER-sweep step
+  * job's plan (the analytic-dᵀx single-job form: y_new in-job via a
+  * stableLit dᵀx known before the job, inner+outer residuals and the next
+  * dᵀ(Pᵀx) on the observe).
   */
 object InOutStepDump {
   def main(args: Array[String]): Unit = {
@@ -49,6 +53,31 @@ object InOutStepDump {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[dump] wrote $outFile (${plan.length} chars)")
+
+      args.drop(1).headOption.foreach { innerOut =>
+        // the inner-sweep step job (InOutPageRank inner branch, round-6
+        // single-job form), with representative scalar values
+        val alpha = 0.85; val beta = alpha / 2
+        val st = t0.df
+          .withColumn("y", col("x")) // stand-in y column of the sweep frame
+          .withColumn("f", lit(alpha - beta) * col("x") + lit(1 - alpha) * vCol)
+        val dtL = GraftSqlInternals.stableLit(0.01)
+        val withX = st.withColumn("x", lit(beta) * col("y") + col("f")).drop("y")
+        val yr2 = PageRank.spmv(prep, withX.select(col("id"), col("x").as("rank")))
+        val inner = withX.join(yr2.hint("shuffle_hash"), Seq("id"), "left")
+          .withColumn("yc", coalesce(col("y"), lit(0.0)))
+          .withColumn("yn", col("yc") + dtL * vCol)
+          .observe("in",
+            sum(col("dang") * col("yc")).as("dyraw"),
+            sum(abs(col("f") + lit(beta) * col("yn") - col("x"))).as("din"),
+            sum(abs(col("x") - lit(alpha) * col("yn") - lit(1 - alpha) * vCol)).as("dout"))
+          .select(col("id"), col("dang"), col("f"), col("x"), col("yn").as("y"))
+        val p2 = inner.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(java.nio.file.Paths.get(innerOut),
+          p2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"[dump] wrote $innerOut (${p2.length} chars)")
+      }
     }
     spark.stop()
   }

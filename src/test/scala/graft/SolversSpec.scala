@@ -74,6 +74,39 @@ class SolversSpec extends AnyFunSuite with SparkTestBase {
       s"arnoldi vertex $i: got ${ga(i.toLong)}, expected ${expected(i)}"))
   }
 
+  test("inout analytic d'x recurrence: dangling-heavy graph, deep inner sweeps " +
+      "(single-job sweep step internals)") {
+    // The round-6 inner sweep computes d'x = beta*d'y + d'f analytically
+    // BEFORE each step's job (seeded by the init observe) instead of
+    // measuring e'P'x after it. 7 of 10 vertices dangling makes d'v = 0.7 —
+    // any recurrence error compounds visibly; eta = 1e-6 forces MANY inner
+    // iterations per sweep so the d'y propagation is exercised deeply.
+    import spark.implicits._
+    val n = 10
+    val edges = Seq((0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)) ++
+      (3 to 9).map(i => (0, i, 1.0))
+    val g = GraphFixtures.linkGraph(spark, n, edges)
+    val (expected, _) = DenseOracle.pagerank(n, edges, 0.85, tol = 1e-13)
+    val (ranks, stats) = InOutPageRank.run(g,
+      InOutPageRank.InOutConfig(alpha = 0.85, eta = 1e-6, tol = 1e-10, maxIter = 300))
+    assert(stats.reason.converged, s"did not converge: $stats")
+    val got = ranks.collect().map(r => r.id -> r.rank).toMap
+    (0 until n).foreach(i => assert(math.abs(got(i.toLong) - expected(i)) < 1e-8,
+      s"vertex $i: got ${got(i.toLong)}, expected ${expected(i)}"))
+    // personalization with ALL teleport mass on a dangling vertex: d'v = 1,
+    // the recurrence's strongest coupling
+    val vArr = Array.tabulate(n)(i => if (i == 9) 1.0 else 0.0)
+    val vDf = Seq((9L, 1.0)).toDF("id", "v")
+    val (expP, _) = DenseOracle.pagerank(n, edges, 0.85, tol = 1e-13, v = Some(vArr))
+    val (rp, sp) = InOutPageRank.run(g,
+      InOutPageRank.InOutConfig(alpha = 0.85, eta = 1e-6, tol = 1e-10, maxIter = 300),
+      personalization = Some(vDf))
+    assert(sp.reason.converged, s"personalized did not converge: $sp")
+    val gp = rp.collect().map(r => r.id -> r.rank).toMap
+    (0 until n).foreach(i => assert(math.abs(gp(i.toLong) - expP(i)) < 1e-8,
+      s"personalized vertex $i: got ${gp(i.toLong)}, expected ${expP(i)}"))
+  }
+
   test("solvers do not leak cached blocks across iterations/restarts") {
     val (n, edges) = GraphFixtures.g2
     val g = GraphFixtures.linkGraph(spark, n, edges)
